@@ -1,0 +1,28 @@
+from .stylegan2 import (
+    FullyConnected,
+    Conv2d,
+    MappingNetwork,
+    SynthesisLayer,
+    ToRGBLayer,
+    SynthesisBlock,
+    SynthesisNetwork,
+    Generator,
+    modulated_conv2d,
+    normalize_2nd_moment,
+)
+from .styleunet import EncoderResBlock, CondSynthesisNetwork, CondGenerator
+from .superresolution import (
+    SynthesisBlockNoUp,
+    SuperresolutionHybrid2X,
+    SuperresolutionHybrid4X,
+    SuperresolutionHybrid8X,
+    SuperresolutionHybrid8XDC,
+)
+from .discriminator import (
+    DiscriminatorBlock,
+    DiscriminatorEpilogue,
+    Discriminator,
+    DualDiscriminator,
+    SingleDiscriminator,
+    filtered_resizing,
+)

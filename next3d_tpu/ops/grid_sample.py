@@ -1,0 +1,61 @@
+"""Bilinear grid sampling (align_corners=False, zeros padding).
+
+Reference usage: torch ``F.grid_sample`` inside tri-plane sampling
+(training_avatar_texture/volumetric_rendering/renderer.py:62-72), UV texture
+sampling (triplane_next3d.py:213,218) and the 2nd-order-differentiable
+wrapper torch_utils/ops/grid_sample_gradfix.py:28-77.
+
+On TPU this is a gather + lerp; JAX autodiff provides gradients of any order
+(the scatter-add backward w.r.t. the input and the lerp-weight backward
+w.r.t. the grid), which is exactly what grid_sample_gradfix hand-builds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample_2d(input, grid):
+    """Sample ``input`` at normalized ``grid`` locations.
+
+    Args:
+      input: (N, C, H, W).
+      grid: (N, Ho, Wo, 2) with (x, y) in [-1, 1]; align_corners=False,
+        padding_mode='zeros', mode='bilinear' — torch F.grid_sample defaults
+        as used by the reference.
+
+    Returns:
+      (N, C, Ho, Wo).
+    """
+    N, C, H, W = input.shape
+    assert grid.shape[0] == N and grid.shape[-1] == 2
+    Ho, Wo = grid.shape[1], grid.shape[2]
+
+    x = (grid[..., 0].astype(input.dtype) + 1) * (W / 2) - 0.5
+    y = (grid[..., 1].astype(input.dtype) + 1) * (H / 2) - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1 - wx1
+    wy0 = 1 - wy1
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    feat = input.reshape(N, C, H * W)
+
+    def corner(xi, yi, wxi, wyi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        idx = idx.reshape(N, Ho * Wo)
+        g = jax.vmap(lambda im, ix: im[:, ix])(feat, idx)  # (N, C, Ho*Wo)
+        wgt = (wxi * wyi * valid.astype(input.dtype)).reshape(N, 1, Ho * Wo)
+        return g * wgt
+
+    out = (corner(x0, y0, wx0, wy0) + corner(x1, y0, wx1, wy0)
+           + corner(x0, y1, wx0, wy1) + corner(x1, y1, wx1, wy1))
+    return out.reshape(N, C, Ho, Wo)

@@ -1,0 +1,233 @@
+"""Differentiable triangle rasterization on TPU (replaces PyTorch3D).
+
+The reference wraps PyTorch3D's CUDA ``rasterize_meshes`` (renderer.py:376-440;
+settings: faces_per_pixel=1, blur=0, perspective_correct=False,
+cull_backfaces=True) and then barycentric-interpolates per-face attributes.
+There is no TPU ecosystem equivalent, so this module implements the same
+semantics as two XLA-friendly stages:
+
+  1. VISIBILITY (non-differentiable, like pix_to_face): every face emits a
+     static KxK pixel-candidate patch around its screen bbox; candidates
+     inside the triangle scatter-min their interpolated z into a z-buffer,
+     then a second scatter resolves the winning face id per pixel. Faces are
+     processed in chunks via ``lax.map`` to bound transient memory.
+  2. ATTRIBUTES (differentiable): given pix_to_face, re-compute barycentric
+     coordinates at pixel centers from the projected vertices (gradients flow
+     to vertex positions exactly as PyTorch3D's bary_coords do) and
+     interpolate attributes; append the visibility/alpha channel.
+
+Coordinate convention (after the reference's double x/y negation cancels
+PyTorch3D's "+x left, +y up" NDC): input vertex (x, y) in [-1, 1] maps to
+pixel column (x+1)*W/2 - 0.5 and row (y+1)*H/2 - 0.5; z is depth with
+SMALLER z in front. Backface culling drops faces with negative signed area
+(v1-v0) x (v2-v0) in this convention — invariant under the double negation,
+so it matches PyTorch3D's EdgeFunction area test.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG_Z = jnp.float32(1e10)
+
+
+def _edge(ax, ay, bx, by, px, py):
+    """Signed area * 2 of triangle (a, b, p) — PyTorch3D's EdgeFunction."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def rasterize_mesh(verts, faces, image_size, patch=32, face_chunk=2048,
+                   eps=1e-8):
+    """Compute pix_to_face + zbuf for a batch of meshes.
+
+    Args:
+      verts: (B, V, 3) float — x, y in [-1, 1] (see convention above), z depth.
+      faces: (F, 3) int32 — shared topology across the batch.
+      image_size: int (square images).
+      patch: static per-face candidate patch size in pixels. Faces whose
+        bbox exceeds ``patch`` are rasterized partially (choose patch via
+        ``required_patch_size`` for a given mesh family; FLAME @256 needs <32).
+      face_chunk: faces processed per scan step (bounds transient memory).
+
+    Returns:
+      pix_to_face: (B, H, W) int32, -1 for background.
+      zbuf: (B, H, W) float32, _BIG_Z where empty.
+
+    Non-differentiable (wrapped in stop_gradient); pair with
+    ``interpolate_face_attributes`` for the differentiable part.
+    """
+    verts = jax.lax.stop_gradient(verts)
+    B, V, _ = verts.shape
+    F = faces.shape[0]
+    H = W = image_size
+
+    # pad face count to a multiple of face_chunk with degenerate faces
+    n_chunks = -(-F // face_chunk)
+    pad = n_chunks * face_chunk - F
+    faces_p = jnp.concatenate(
+        [faces.astype(jnp.int32),
+         jnp.zeros((pad, 3), jnp.int32)], axis=0) if pad else faces.astype(jnp.int32)
+    valid_face = jnp.concatenate(
+        [jnp.ones((F,), bool), jnp.zeros((pad,), bool)]) if pad else jnp.ones((F,), bool)
+    faces_c = faces_p.reshape(n_chunks, face_chunk, 3)
+    valid_c = valid_face.reshape(n_chunks, face_chunk)
+    base_fid = (jnp.arange(n_chunks * face_chunk, dtype=jnp.int32)
+                .reshape(n_chunks, face_chunk))
+
+    # pixel coords of vertices
+    px = (verts[..., 0] + 1) * (W / 2) - 0.5  # (B, V)
+    py = (verts[..., 1] + 1) * (H / 2) - 0.5
+    pz = verts[..., 2]
+
+    ky, kx = jnp.meshgrid(jnp.arange(patch, dtype=jnp.int32),
+                          jnp.arange(patch, dtype=jnp.int32), indexing='ij')
+    ky = ky.reshape(-1)
+    kx = kx.reshape(-1)
+
+    def candidates(chunk_faces, chunk_valid):
+        """Per-candidate (pixel_index, z, inside) for one face chunk.
+
+        Returns flat arrays over (B * face_chunk * patch^2).
+        """
+        f = chunk_faces  # (fc, 3)
+        x0, x1, x2 = (px[:, f[:, 0]], px[:, f[:, 1]], px[:, f[:, 2]])  # (B, fc)
+        y0, y1, y2 = (py[:, f[:, 0]], py[:, f[:, 1]], py[:, f[:, 2]])
+        z0, z1, z2 = (pz[:, f[:, 0]], pz[:, f[:, 1]], pz[:, f[:, 2]])
+
+        area = _edge(x0, y0, x1, y1, x2, y2)  # (B, fc)
+        keep = (area > eps) & chunk_valid[None, :]
+
+        xmin = jnp.ceil(jnp.minimum(jnp.minimum(x0, x1), x2)).astype(jnp.int32)
+        ymin = jnp.ceil(jnp.minimum(jnp.minimum(y0, y1), y2)).astype(jnp.int32)
+        cx = xmin[:, :, None] + kx[None, None, :]  # (B, fc, P*P)
+        cy = ymin[:, :, None] + ky[None, None, :]
+        fx = cx.astype(jnp.float32)
+        fy = cy.astype(jnp.float32)
+
+        w0 = _edge(x1[..., None], y1[..., None], x2[..., None], y2[..., None], fx, fy)
+        w1 = _edge(x2[..., None], y2[..., None], x0[..., None], y0[..., None], fx, fy)
+        w2 = _edge(x0[..., None], y0[..., None], x1[..., None], y1[..., None], fx, fy)
+        inv_area = 1.0 / area[..., None]
+        b0 = w0 * inv_area
+        b1 = w1 * inv_area
+        b2 = w2 * inv_area
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & keep[..., None]
+        inside &= (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+        z = b0 * z0[..., None] + b1 * z1[..., None] + b2 * z2[..., None]
+        pix = cy * W + cx  # (B, fc, P*P)
+        return pix, z, inside
+
+    def zbuf_step(zbuf, args):
+        chunk_faces, chunk_valid = args
+        pix, z, inside = candidates(chunk_faces, chunk_valid)
+        z = jnp.where(inside, z, _BIG_Z)
+        pix = jnp.where(inside, pix, 0)
+        zbuf = jax.vmap(lambda zb, p, v: zb.at[p].min(v))(
+            zbuf, pix.reshape(B, -1), z.reshape(B, -1))
+        return zbuf, None
+
+    zbuf0 = jnp.full((B, H * W), _BIG_Z)
+    zbuf, _ = jax.lax.scan(zbuf_step, zbuf0, (faces_c, valid_c))
+
+    def fid_step(carry, args):
+        fid_buf = carry
+        chunk_faces, chunk_valid, fids = args
+        pix, z, inside = candidates(chunk_faces, chunk_valid)
+        zwin = jax.vmap(lambda zb, p: zb[p])(zbuf, pix.reshape(B, -1))
+        flat_z = z.reshape(B, -1)
+        # winner: z equals the buffered min exactly (same float computation)
+        win = inside.reshape(B, -1) & (flat_z <= zwin)
+        cand_fid = jnp.broadcast_to(fids[None, :, None],
+                                    (B, fids.shape[0], patch * patch)).reshape(B, -1)
+        cand_fid = jnp.where(win, cand_fid, jnp.int32(2 ** 30))
+        fid_buf = jax.vmap(lambda fb, p, v: fb.at[p].min(v))(
+            fid_buf, pix.reshape(B, -1), cand_fid)
+        return fid_buf, None
+
+    fid0 = jnp.full((B, H * W), 2 ** 30, jnp.int32)
+    fid_buf, _ = jax.lax.scan(fid_step, fid0, (faces_c, valid_c, base_fid))
+
+    pix_to_face = jnp.where(fid_buf >= 2 ** 30, -1, fid_buf).reshape(B, H, W)
+    return pix_to_face, zbuf.reshape(B, H, W)
+
+
+def interpolate_face_attributes(verts, faces, attributes, pix_to_face,
+                                image_size, eps=1e-8):
+    """Differentiable barycentric attribute interpolation.
+
+    Args:
+      verts: (B, V, 3) projected vertices (same space as rasterize_mesh).
+      faces: (F, 3) int32.
+      attributes: (B, F, 3, D) per-face per-corner attributes.
+      pix_to_face: (B, H, W) from ``rasterize_mesh``.
+
+    Returns:
+      (B, D+1, H, W): interpolated attributes with the visibility/alpha mask
+      appended as the last channel (matches the reference wrapper's output,
+      renderer.py:425-440).
+    """
+    B, V, _ = verts.shape
+    H = W = image_size
+    D = attributes.shape[-1]
+
+    mask = pix_to_face >= 0  # (B, H, W)
+    fidx = jnp.where(mask, pix_to_face, 0).reshape(B, H * W)  # (B, HW)
+    tri = faces.astype(jnp.int32)[fidx]  # (B, HW, 3)
+
+    vx = (verts[..., 0] + 1) * (W / 2) - 0.5
+    vy = (verts[..., 1] + 1) * (H / 2) - 0.5
+
+    gx = jax.vmap(lambda a, i: a[i])(vx, tri)  # (B, HW, 3)
+    gy = jax.vmap(lambda a, i: a[i])(vy, tri)
+
+    cols = jnp.arange(W, dtype=jnp.float32)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    pcy, pcx = jnp.meshgrid(rows, cols, indexing='ij')
+    pcx = pcx.reshape(1, H * W)
+    pcy = pcy.reshape(1, H * W)
+
+    w0 = _edge(gx[..., 1], gy[..., 1], gx[..., 2], gy[..., 2], pcx, pcy)
+    w1 = _edge(gx[..., 2], gy[..., 2], gx[..., 0], gy[..., 0], pcx, pcy)
+    w2 = _edge(gx[..., 0], gy[..., 0], gx[..., 1], gy[..., 1], pcx, pcy)
+    area = _edge(gx[..., 0], gy[..., 0], gx[..., 1], gy[..., 1],
+                 gx[..., 2], gy[..., 2])
+    inv = 1.0 / jnp.where(jnp.abs(area) > eps, area, 1.0)
+    bary = jnp.stack([w0 * inv, w1 * inv, w2 * inv], axis=-1)  # (B, HW, 3)
+
+    face_attrs = jax.vmap(lambda a, i: a[i])(attributes, fidx)  # (B, HW, 3, D)
+    vals = jnp.sum(bary[..., None] * face_attrs, axis=-2)  # (B, HW, D)
+    vals = vals * mask.reshape(B, H * W, 1).astype(vals.dtype)
+
+    out = vals.reshape(B, H, W, D).transpose(0, 3, 1, 2)
+    alpha = mask.reshape(B, 1, H, W).astype(out.dtype)
+    return jnp.concatenate([out, alpha], axis=1)
+
+
+def rasterize_with_attributes(verts, faces, attributes, image_size,
+                              patch=32, face_chunk=2048):
+    """Full rasterizer: (B, D+1, H, W) attribute+alpha images.
+
+    Equivalent to the reference's ``Pytorch3dRasterizer.forward``
+    (renderer.py:401-440) for square images.
+    """
+    pix_to_face, _ = rasterize_mesh(verts, faces, image_size, patch=patch,
+                                    face_chunk=face_chunk)
+    return interpolate_face_attributes(verts, faces, attributes, pix_to_face,
+                                       image_size)
+
+
+def required_patch_size(verts, faces, image_size):
+    """Max face bbox span in pixels (host-side helper to validate ``patch``)."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    px = (verts[..., 0] + 1) * (image_size / 2)
+    py = (verts[..., 1] + 1) * (image_size / 2)
+    fx = px[..., faces]  # (B, F, 3)
+    fy = py[..., faces]
+    span = np.maximum(fx.max(-1) - fx.min(-1), fy.max(-1) - fy.min(-1))
+    return float(span.max())

@@ -1,0 +1,238 @@
+"""Tri-plane sampling + EG3D two-pass importance volume renderer.
+
+Behavioral spec: training_avatar_texture/volumetric_rendering/renderer.py
+(generate_planes :30-44 incl. the deliberately non-orthonormal axis matrices
+matching shipped EG3D checkpoints, project_onto_planes :46-60,
+sample_from_planes :62-72, ImportanceRenderer :89-268).
+
+Everything is static-shaped and jit-compatible; stochastic sampling takes an
+explicit PRNG key. The decoder is passed as ``(params, fn)`` where
+``fn(params, sampled_features, directions) -> {'rgb', 'sigma'}``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import grid_sample_2d
+from . import math_utils
+from .ray_marcher import mip_ray_marcher2
+
+
+def generate_planes() -> np.ndarray:
+    """Plane axis matrices (reference: renderer.py:30-44). NOTE: the 2nd/3rd
+    entries are intentionally NOT orthonormal inverses of each other — they
+    match the EG3D checkpoints' convention."""
+    return np.array([[[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                     [[1, 0, 0], [0, 0, 1], [0, 1, 0]],
+                     [[0, 0, 1], [0, 1, 0], [1, 0, 0]]], dtype=np.float32)
+
+
+_INV_PLANES = np.linalg.inv(generate_planes()).astype(np.float32)  # (3, 3, 3)
+
+
+def project_onto_planes(coordinates, inv_planes=None):
+    """(N, M, 3) -> (N*3, M, 2) plane coordinates (reference :46-60)."""
+    N, M, _ = coordinates.shape
+    inv = jnp.asarray(_INV_PLANES if inv_planes is None else inv_planes)
+    n_planes = inv.shape[0]
+    coords = jnp.broadcast_to(coordinates[:, None], (N, n_planes, M, 3))
+    proj = jnp.einsum('npmc,pcd->npmd', coords, inv,
+                      precision=jax.lax.Precision.HIGHEST)
+    return proj.reshape(N * n_planes, M, 3)[..., :2]
+
+
+def sample_from_planes(plane_features, coordinates, box_warp):
+    """(N, 3, C, H, W), (N, M, 3) -> (N, 3, M, C) (reference :62-72)."""
+    N, n_planes, C, H, W = plane_features.shape
+    M = coordinates.shape[1]
+    feats = plane_features.reshape(N * n_planes, C, H, W)
+    coords = (2 / box_warp) * coordinates
+    proj = project_onto_planes(coords)  # (N*3, M, 2)
+    out = grid_sample_2d(feats, proj[:, None])  # (N*3, C, 1, M)
+    return out[:, :, 0].transpose(0, 2, 1).reshape(N, n_planes, M, C)
+
+
+def _uniform(rng, shape):
+    """U(0,1) jitter; rng=None gives the deterministic midpoint 0.5 (used by
+    parity tests and deterministic inference)."""
+    if rng is None:
+        return jnp.full(shape, 0.5, jnp.float32)
+    return jax.random.uniform(rng, shape, jnp.float32)
+
+
+def sample_stratified(rng, ray_origins, ray_start, ray_end, depth_resolution,
+                      disparity_space_sampling=False):
+    """Jittered uniform depths (reference :184-207). ray_start/ray_end may be
+    floats or (N, M, 1) tensors (auto box-intersection path)."""
+    N, M, _ = ray_origins.shape
+    if disparity_space_sampling:
+        base = jnp.linspace(0, 1, depth_resolution, dtype=jnp.float32)
+        base = jnp.broadcast_to(base.reshape(1, 1, -1, 1),
+                                (N, M, depth_resolution, 1))
+        delta = 1 / (depth_resolution - 1)
+        u = _uniform(rng, base.shape)
+        d = base + u * delta
+        return 1. / (1. / ray_start * (1. - d) + 1. / ray_end * d)
+    if isinstance(ray_start, (int, float)):
+        base = jnp.linspace(ray_start, ray_end, depth_resolution,
+                            dtype=jnp.float32)
+        base = jnp.broadcast_to(base.reshape(1, 1, -1, 1),
+                                (N, M, depth_resolution, 1))
+        delta = (ray_end - ray_start) / (depth_resolution - 1)
+        u = _uniform(rng, base.shape)
+        return base + u * delta
+    # tensor ray limits: linspace over (N, M, 1) then permute (reference :199)
+    base = math_utils.linspace_batch(ray_start, ray_end, depth_resolution)
+    base = jnp.transpose(base, (1, 2, 0, 3))  # (N, M, S, 1)
+    delta = (ray_end - ray_start) / (depth_resolution - 1)  # (N, M, 1)
+    u = _uniform(rng, base.shape)
+    return base + u * delta[..., None, :]
+
+
+def sample_pdf(rng, bins, weights, N_importance, det=False, eps=1e-5):
+    """Inverse-CDF sampling (reference :229-268).
+
+    bins: (R, B+1); weights: (R, B) -> samples (R, N_importance).
+    """
+    R, B = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (R, B+1)
+
+    if det or rng is None:
+        u = jnp.broadcast_to(jnp.linspace(0, 1, N_importance), (R, N_importance))
+    else:
+        u = jax.random.uniform(rng, (R, N_importance), jnp.float32)
+
+    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side='right'))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, B)
+
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=1)
+    bins_g0 = jnp.take_along_axis(bins, below, axis=1)
+    bins_g1 = jnp.take_along_axis(bins, above, axis=1)
+
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_g0 + (u - cdf_g0) / denom * (bins_g1 - bins_g0)
+
+
+def _smooth_weights(weights):
+    """max_pool1d(2,1,pad=1) then avg_pool1d(2,1) + 0.01 (reference :220-222).
+
+    weights: (R, L) -> (R, L) (max pool with pad grows to L+1, avg shrinks back).
+    """
+    padded = jnp.pad(weights, ((0, 0), (1, 1)), constant_values=-jnp.inf)
+    mx = jnp.maximum(padded[:, :-1], padded[:, 1:])  # (R, L+1)
+    avg = (mx[:, :-1] + mx[:, 1:]) / 2  # (R, L)
+    return avg + 0.01
+
+
+def sample_importance(rng, z_vals, weights, N_importance):
+    """Importance depths from smoothed coarse weights (reference :209-227)."""
+    N, R, S, _ = z_vals.shape
+    z = jax.lax.stop_gradient(z_vals).reshape(N * R, S)
+    w = jax.lax.stop_gradient(weights).reshape(N * R, -1)
+    w = _smooth_weights(w)
+    z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+    samples = sample_pdf(rng, z_mid, w[:, 1:-1], N_importance)
+    return samples.reshape(N, R, N_importance, 1)
+
+
+def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
+    """Concat + sort-by-depth merge (reference :164-182)."""
+    all_depths = jnp.concatenate([depths1, depths2], axis=-2)
+    all_colors = jnp.concatenate([colors1, colors2], axis=-2)
+    all_densities = jnp.concatenate([densities1, densities2], axis=-2)
+    indices = jnp.argsort(all_depths, axis=-2)
+    all_depths = jnp.take_along_axis(all_depths, indices, axis=-2)
+    all_colors = jnp.take_along_axis(
+        all_colors, jnp.broadcast_to(indices, all_colors.shape), axis=-2)
+    all_densities = jnp.take_along_axis(all_densities, indices, axis=-2)
+    return all_depths, all_colors, all_densities
+
+
+class ImportanceRenderer:
+    """Two-pass coarse/fine renderer (reference: renderer.py:89-155)."""
+
+    def run_model(self, planes, decoder, sample_coordinates, sample_directions,
+                  options, rng=None):
+        sampled_features = sample_from_planes(planes, sample_coordinates,
+                                              box_warp=options['box_warp'])
+        decoder_params, decoder_fn = decoder
+        out = decoder_fn(decoder_params, sampled_features, sample_directions)
+        if options.get('density_noise', 0) > 0:
+            assert rng is not None
+            out['sigma'] = out['sigma'] + jax.random.normal(
+                rng, out['sigma'].shape, out['sigma'].dtype) * options['density_noise']
+        return out
+
+    def __call__(self, rng, planes, decoder, ray_origins, ray_directions,
+                 rendering_options):
+        """Returns (rgb_final (N,R,C), depth_final (N,R,1), weight_sum (N,R,1))."""
+        opts = rendering_options
+        if rng is None:
+            k_strat = k_imp = k_noise1 = k_noise2 = None
+        else:
+            k_strat, k_imp, k_noise1, k_noise2 = jax.random.split(rng, 4)
+
+        if opts['ray_start'] == opts['ray_end'] == 'auto':
+            ray_start, ray_end = math_utils.get_ray_limits_box(
+                ray_origins, ray_directions, box_side_length=opts['box_warp'])
+            is_ray_valid = ray_end > ray_start
+            # replace invalid rays with the min/max of valid starts
+            # (reference :100-103); masked min/max keeps it jit-compatible
+            big = jnp.float32(1e10)
+            vmin = jnp.min(jnp.where(is_ray_valid, ray_start, big))
+            vmax = jnp.max(jnp.where(is_ray_valid, ray_start, -big))
+            ray_start = jnp.where(is_ray_valid, ray_start, vmin)
+            ray_end = jnp.where(is_ray_valid, ray_end, vmax)
+            depths_coarse = sample_stratified(
+                k_strat, ray_origins, ray_start, ray_end,
+                opts['depth_resolution'], opts['disparity_space_sampling'])
+        else:
+            depths_coarse = sample_stratified(
+                k_strat, ray_origins, opts['ray_start'], opts['ray_end'],
+                opts['depth_resolution'], opts['disparity_space_sampling'])
+
+        N, R, S, _ = depths_coarse.shape
+
+        coords = (ray_origins[:, :, None] +
+                  depths_coarse * ray_directions[:, :, None]).reshape(N, -1, 3)
+        dirs = jnp.broadcast_to(ray_directions[:, :, None],
+                                (N, R, S, 3)).reshape(N, -1, 3)
+        out = self.run_model(planes, decoder, coords, dirs, opts, k_noise1)
+        colors_coarse = out['rgb'].reshape(N, R, S, -1)
+        densities_coarse = out['sigma'].reshape(N, R, S, 1)
+
+        N_importance = opts['depth_resolution_importance']
+        if N_importance > 0:
+            _, _, weights = mip_ray_marcher2(colors_coarse, densities_coarse,
+                                             depths_coarse, opts)
+            depths_fine = sample_importance(k_imp, depths_coarse, weights,
+                                            N_importance)
+            coords = (ray_origins[:, :, None] +
+                      depths_fine * ray_directions[:, :, None]).reshape(N, -1, 3)
+            dirs = jnp.broadcast_to(ray_directions[:, :, None],
+                                    (N, R, N_importance, 3)).reshape(N, -1, 3)
+            out = self.run_model(planes, decoder, coords, dirs, opts, k_noise2)
+            colors_fine = out['rgb'].reshape(N, R, N_importance, -1)
+            densities_fine = out['sigma'].reshape(N, R, N_importance, 1)
+
+            all_depths, all_colors, all_densities = unify_samples(
+                depths_coarse, colors_coarse, densities_coarse,
+                depths_fine, colors_fine, densities_fine)
+            rgb_final, depth_final, weights = mip_ray_marcher2(
+                all_colors, all_densities, all_depths, opts)
+        else:
+            rgb_final, depth_final, weights = mip_ray_marcher2(
+                colors_coarse, densities_coarse, depths_coarse, opts)
+
+        return rgb_final, depth_final, jnp.sum(weights, axis=2)
