@@ -1,0 +1,247 @@
+"""Dataset: images + camera/expression labels + FLAME verts + landmarks.
+
+Behavioral spec: training_avatar_texture/dataset.py:41-376 — zip-or-dir of
+images, labels from dataset.json, per-item FLAME mesh (.obj) and 68x3
+landmarks (.txt with the meshes->lms path swap, :375), optional xflip
+augmentation via an index-doubled table (:64-68).
+
+TPU-first changes (SURVEY section 7.3 step 8):
+  * per-item .obj/.txt text parsing is moved OFFLINE: ``prebake()`` converts
+    meshes/lms to one memory-mapped .npy pair; training reads arrays only
+    (the reference parses mesh text per item inside the input pipeline,
+    dataset.py:356-371 — a TPU-starving pattern);
+  * the vanilla ``dataset.json`` filename is the default (the reference's
+    avatar dataset quirkily reads dataset_mead.json, :304 — configurable
+    here via ``labels_file``);
+  * sharding: hosts take strided slices by jax.process_index() (replaces
+    InfiniteSampler rank striding, torch_utils/misc.py:113-139).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..utils.obj_io import load_lms, load_obj_verts
+
+N_FLAME_VERTS = 5023
+N_LMS = 68
+
+
+class ImageFolderDataset:
+    def __init__(self, path, resolution=None, use_labels=True, xflip=False,
+                 max_size=None, labels_file='dataset.json',
+                 load_verts=True, random_seed=0):
+        self._path = path
+        self._zipfile = None
+        self.load_verts = load_verts
+        self.labels_file = labels_file
+
+        if os.path.isdir(path):
+            self._type = 'dir'
+            self._all_fnames = {
+                os.path.relpath(os.path.join(root, f), start=path).replace('\\', '/')
+                for root, _dirs, files in os.walk(path) for f in files}
+        elif path.endswith('.zip'):
+            self._type = 'zip'
+            self._all_fnames = set(self._get_zipfile().namelist())
+        else:
+            raise IOError('path must be a directory or zip')
+
+        ext = lambda f: os.path.splitext(f)[1].lower()
+        self._image_fnames = sorted(
+            f for f in self._all_fnames if ext(f) in ('.png', '.jpg', '.jpeg'))
+        if not self._image_fnames:
+            raise IOError('no image files found')
+
+        self._raw_labels = None
+        self._use_labels = use_labels
+        raw_shape = [len(self._image_fnames)] + list(
+            self._load_image(0).shape)
+        if resolution is not None and (raw_shape[2] != resolution or
+                                       raw_shape[3] != resolution):
+            raise IOError('image resolution does not match')
+        self._raw_shape = raw_shape
+
+        # prebaked mesh arrays (created by prebake())
+        self._verts_cache = None
+        self._lms_cache = None
+
+        self._raw_idx = np.arange(raw_shape[0], dtype=np.int64)
+        if max_size is not None and self._raw_idx.size > max_size:
+            rnd = np.random.RandomState(random_seed)
+            self._raw_idx = np.sort(rnd.choice(self._raw_idx, size=max_size,
+                                               replace=False))
+        # xflip doubling table (reference dataset.py:64-68)
+        self._xflip = np.zeros(self._raw_idx.size, dtype=np.uint8)
+        if xflip:
+            self._raw_idx = np.tile(self._raw_idx, 2)
+            self._xflip = np.concatenate([self._xflip, np.ones_like(self._xflip)])
+
+    # ------------------------------------------------------------------ io
+    def _get_zipfile(self):
+        if self._zipfile is None:
+            self._zipfile = zipfile.ZipFile(self._path)
+        return self._zipfile
+
+    def _open_file(self, fname):
+        if self._type == 'dir':
+            return open(os.path.join(self._path, fname), 'rb')
+        return self._get_zipfile().open(fname, 'r')
+
+    def _load_image(self, raw_idx):
+        from PIL import Image
+        with self._open_file(self._image_fnames[raw_idx]) as f:
+            img = np.asarray(Image.open(f))
+        if img.ndim == 2:
+            img = img[:, :, np.newaxis]
+        return img.transpose(2, 0, 1)  # CHW uint8
+
+    def _load_labels(self):
+        if self._raw_labels is None:
+            labels = None
+            if self._use_labels and self.labels_file in self._all_fnames:
+                with self._open_file(self.labels_file) as f:
+                    labels = json.load(f)['labels']
+            if labels is None:
+                self._raw_labels = np.zeros((self._raw_shape[0], 0), np.float32)
+            else:
+                labels = dict(labels)
+                labels = [labels[fname.replace('\\', '/')]
+                          for fname in self._image_fnames]
+                self._raw_labels = np.asarray(labels, np.float32)
+        return self._raw_labels
+
+    # ------------------------------------------------------- mesh prebaking
+    def _mesh_paths(self, raw_idx):
+        img = self._image_fnames[raw_idx]
+        mesh = img.replace('images', 'meshes').rsplit('.', 1)[0] + '.obj'
+        lms = mesh.replace('meshes', 'lms').rsplit('.', 1)[0] + '.txt'
+        return mesh, lms
+
+    def prebake_path(self):
+        base = self._path.rstrip('/').rstrip('.zip')
+        return base + '_verts.npy', base + '_lms.npy'
+
+    def prebake(self, force=False):
+        """Parse all .obj/.txt once -> memory-mapped arrays."""
+        vp, lp = self.prebake_path()
+        if not force and os.path.exists(vp) and os.path.exists(lp):
+            return vp, lp
+        n = self._raw_shape[0]
+        verts = np.zeros((n, N_FLAME_VERTS, 3), np.float32)
+        lms = np.zeros((n, N_LMS, 3), np.float32)
+        for i in range(n):
+            mp, lmp = self._mesh_paths(i)
+            if self._type == 'dir':
+                verts[i] = load_obj_verts(os.path.join(self._path, mp))
+                lms[i] = load_lms(os.path.join(self._path, lmp))
+            else:
+                import io
+                with self._open_file(mp) as f:
+                    txt = io.TextIOWrapper(f)
+                    vs = [l.split()[1:4] for l in txt if l.startswith('v ')]
+                    verts[i] = np.asarray(vs, np.float32)
+                with self._open_file(lmp) as f:
+                    lms[i] = np.loadtxt(f, dtype=np.float32)
+        np.save(vp, verts)
+        np.save(lp, lms)
+        return vp, lp
+
+    def _get_verts(self, raw_idx):
+        if not self.load_verts:
+            return np.zeros((0, 3), np.float32)
+        if self._verts_cache is None:
+            vp, lp = self.prebake()
+            self._verts_cache = np.load(vp, mmap_mode='r')
+            self._lms_cache = np.load(lp, mmap_mode='r')
+        return np.concatenate([np.asarray(self._verts_cache[raw_idx]),
+                               np.asarray(self._lms_cache[raw_idx])], axis=0)
+
+    # ----------------------------------------------------------------- api
+    def __len__(self):
+        return self._raw_idx.size
+
+    @property
+    def label_dim(self):
+        return self._load_labels().shape[1]
+
+    @property
+    def resolution(self):
+        return self._raw_shape[2]
+
+    def get_label(self, idx):
+        return self._load_labels()[self._raw_idx[idx]].copy()
+
+    def get_label_std(self):
+        return self._load_labels().std(0)
+
+    def __getitem__(self, idx):
+        raw_idx = self._raw_idx[idx]
+        img = self._load_image(raw_idx)
+        label = self.get_label(idx)
+        verts = self._get_verts(raw_idx)
+        if self._xflip[idx]:
+            img = img[:, :, ::-1].copy()
+            # NOTE: the reference flips only the image (dataset.py:127-130);
+            # mesh/labels are not flipped, so xflip is unsound for the avatar
+            # task and off by default (matching the training config).
+        return img, label, verts
+
+
+class InfiniteSampler:
+    """Host-strided infinite shuffled index stream (replaces
+    torch_utils/misc.py:113-139 rank striding with process_index striding)."""
+
+    def __init__(self, dataset_size, rank=0, num_replicas=1, shuffle=True,
+                 seed=0, window_size=0.5):
+        self.dataset_size = dataset_size
+        self.rank = rank
+        self.num_replicas = num_replicas
+        self.shuffle = shuffle
+        self.seed = seed
+        self.window_size = window_size
+
+    def __iter__(self):
+        order = np.arange(self.dataset_size)
+        rnd = None
+        window = 0
+        if self.shuffle:
+            rnd = np.random.RandomState(self.seed)
+            rnd.shuffle(order)
+            window = int(np.rint(order.size * self.window_size))
+        idx = 0
+        while True:
+            i = idx % order.size
+            if idx % self.num_replicas == self.rank:
+                yield order[i]
+            if window >= 2:
+                j = (i - rnd.randint(window)) % order.size
+                order[i], order[j] = order[j], order[i]
+            idx += 1
+
+
+def make_data_iterator(dataset, batch_size_per_host, rank=0, num_replicas=1,
+                       seed=0, to_float=True):
+    """Yield host batches: dict(img (B,C,H,W) float [-1,1]-scaled later by the
+    loop, c (B,25[+50]), v (B,5091,3))."""
+    sampler = iter(InfiniteSampler(len(dataset), rank=rank,
+                                   num_replicas=num_replicas, seed=seed))
+    while True:
+        imgs, labels, verts = [], [], []
+        for _ in range(batch_size_per_host):
+            i = int(next(sampler))
+            img, label, v = dataset[i]
+            imgs.append(img)
+            labels.append(label)
+            verts.append(v)
+        img = np.stack(imgs).astype(np.float32)
+        if to_float:
+            img = img / 127.5 - 1.0
+        yield {'image': img,
+               'c': np.stack(labels).astype(np.float32),
+               'v': np.stack(verts).astype(np.float32)}

@@ -1,0 +1,27 @@
+"""FID (reference: metrics/frechet_inception_distance.py:22-41)."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+
+from .metric_utils import (MetricOptions, compute_feature_stats_for_dataset,
+                           compute_feature_stats_for_generator)
+
+
+def compute_fid(opts: MetricOptions, max_real=None, num_gen=50000):
+    stats_real = compute_feature_stats_for_dataset(
+        opts, capture_mean_cov=True, max_items=max_real)
+    mu_real, sigma_real = stats_real.get_mean_cov()
+
+    stats_gen = compute_feature_stats_for_generator(
+        opts, capture_mean_cov=True, max_items=num_gen)
+    mu_gen, sigma_gen = stats_gen.get_mean_cov()
+
+    return fid_from_stats(mu_real, sigma_real, mu_gen, sigma_gen)
+
+
+def fid_from_stats(mu_real, sigma_real, mu_gen, sigma_gen):
+    m = np.square(mu_gen - mu_real).sum()
+    s, _ = scipy.linalg.sqrtm(np.dot(sigma_gen, sigma_real), disp=False)
+    return float(np.real(m + np.trace(sigma_gen + sigma_real - s * 2)))

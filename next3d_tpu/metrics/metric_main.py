@@ -1,0 +1,57 @@
+"""Metric registry + dispatch (reference: metrics/metric_main.py:31-155)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict
+
+from .metric_utils import MetricOptions
+
+_metric_dict: Dict[str, Callable] = {}
+
+
+def register_metric(fn):
+    _metric_dict[fn.__name__] = fn
+    return fn
+
+
+def is_valid_metric(metric):
+    return metric in _metric_dict
+
+
+def list_valid_metrics():
+    return sorted(_metric_dict)
+
+
+def calc_metric(metric, run_dir=None, **kwargs):
+    assert is_valid_metric(metric), f'unknown metric {metric}'
+    opts = MetricOptions(**kwargs)
+    start = time.time()
+    results = _metric_dict[metric](opts)
+    total_time = time.time() - start
+    record = dict(results=results, metric=metric, total_time=total_time,
+                  total_time_str=f'{total_time:.1f}s')
+    if run_dir is not None:
+        with open(os.path.join(run_dir, f'metric-{metric}.jsonl'), 'at') as f:
+            f.write(json.dumps(record) + '\n')
+    return record
+
+
+@register_metric
+def fid50k_full(opts):
+    from .frechet_inception_distance import compute_fid
+    return {'fid50k_full': compute_fid(opts, max_real=None, num_gen=50000)}
+
+
+@register_metric
+def fid2k_full(opts):
+    from .frechet_inception_distance import compute_fid
+    return {'fid2k_full': compute_fid(opts, max_real=None, num_gen=2000)}
+
+
+@register_metric
+def kid50k_full(opts):
+    from .kernel_inception_distance import compute_kid
+    return {'kid50k_full': compute_kid(opts, max_real=1000000, num_gen=50000)}

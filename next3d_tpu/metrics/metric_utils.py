@@ -1,0 +1,187 @@
+"""Metric machinery: feature statistics, detector interface, feature loops.
+
+Behavioral spec: metrics/metric_utils.py (FeatureStats :89-165, dataset /
+generator feature loops :214-305 incl. the cond_vert flag that feeds FLAME
+verts to generation :27,291-294, md5 stats caching :238-247).
+
+Detector: the reference downloads NVIDIA's Inception-2015 TorchScript pickle
+(frechet_inception_distance.py:24). With zero egress this build loads it
+from a local cache path (NEXT3D_INCEPTION_PATH) and runs it on torch-CPU;
+any callable mapping uint8 NCHW -> (N, D) features plugs in (tests use a
+cheap deterministic detector).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+
+@dataclass
+class MetricOptions:
+    generator: Any = None           # model object
+    params: Any = None              # param pytree (G_ema)
+    dataset: Any = None             # ImageFolderDataset
+    detector: Optional[Callable] = None
+    num_items: int = 50000
+    batch_size: int = 16
+    cond_vert: bool = True          # feed FLAME verts to G (reference :27)
+    truncation_psi: float = 1.0
+    cache_dir: Optional[str] = None
+    seed: int = 0
+    jit: bool = True  # False for non-jittable stub generators in tests
+
+
+class FeatureStats:
+    """Mean/cov accumulators (reference metric_utils.py:89-165)."""
+
+    def __init__(self, capture_all=False, capture_mean_cov=True,
+                 max_items=None):
+        self.capture_all = capture_all
+        self.capture_mean_cov = capture_mean_cov
+        self.max_items = max_items
+        self.num_items = 0
+        self.num_features = None
+        self.all_features = []
+        self.raw_mean = None
+        self.raw_cov = None
+
+    def set_num_features(self, num_features):
+        if self.num_features is None:
+            self.num_features = num_features
+            self.raw_mean = np.zeros(num_features, np.float64)
+            self.raw_cov = np.zeros((num_features, num_features), np.float64)
+        else:
+            assert self.num_features == num_features
+
+    def is_full(self):
+        return self.max_items is not None and self.num_items >= self.max_items
+
+    def append(self, x):
+        x = np.asarray(x, np.float32)
+        assert x.ndim == 2
+        if self.max_items is not None and \
+                self.num_items + x.shape[0] > self.max_items:
+            if self.num_items >= self.max_items:
+                return
+            x = x[:self.max_items - self.num_items]
+        self.set_num_features(x.shape[1])
+        self.num_items += x.shape[0]
+        if self.capture_all:
+            self.all_features.append(x)
+        if self.capture_mean_cov:
+            x64 = x.astype(np.float64)
+            self.raw_mean += x64.sum(0)
+            self.raw_cov += x64.T @ x64
+
+    def get_all(self):
+        return np.concatenate(self.all_features, 0)
+
+    def get_mean_cov(self):
+        mean = self.raw_mean / self.num_items
+        cov = self.raw_cov / self.num_items - np.outer(mean, mean)
+        return mean, cov
+
+    def save(self, path):
+        with open(path, 'wb') as f:
+            pickle.dump(self.__dict__, f)
+
+    @classmethod
+    def load(cls, path):
+        with open(path, 'rb') as f:
+            state = pickle.load(f)
+        obj = cls()
+        obj.__dict__.update(state)
+        return obj
+
+
+def get_detector(opts: MetricOptions):
+    """Resolve the feature detector (Inception by default)."""
+    if opts.detector is not None:
+        return opts.detector
+    path = os.environ.get('NEXT3D_INCEPTION_PATH')
+    if path and os.path.exists(path):
+        import torch
+        model = torch.jit.load(path).eval()
+
+        def detect(images_uint8):
+            with torch.no_grad():
+                t = torch.as_tensor(np.ascontiguousarray(images_uint8))
+                return model(t, return_features=True).numpy()
+        return detect
+    raise RuntimeError(
+        'No feature detector: set NEXT3D_INCEPTION_PATH to the Inception-2015 '
+        'TorchScript pickle (offline cache; the reference downloads it from '
+        'the NVIDIA CDN at metrics/frechet_inception_distance.py:24), or pass '
+        'MetricOptions.detector.')
+
+
+def _to_uint8(img):
+    return np.rint(np.clip((np.asarray(img) + 1) * 127.5, 0, 255)).astype(np.uint8)
+
+
+def compute_feature_stats_for_dataset(opts: MetricOptions, max_items=None,
+                                      **stats_kwargs):
+    detector = get_detector(opts)
+    ds = opts.dataset
+    n = min(len(ds), max_items or len(ds))
+
+    cache_file = None
+    if opts.cache_dir:
+        tag = hashlib.md5(repr((getattr(ds, '_path', ''), n,
+                                sorted(stats_kwargs.items())))
+                          .encode()).hexdigest()
+        cache_file = os.path.join(opts.cache_dir, f'ds-features-{tag}.pkl')
+        if os.path.exists(cache_file):
+            return FeatureStats.load(cache_file)
+
+    stats = FeatureStats(max_items=n, **stats_kwargs)
+    bs = opts.batch_size
+    for lo in range(0, n, bs):
+        imgs = np.stack([ds[i][0] for i in range(lo, min(lo + bs, n))])
+        if imgs.shape[1] == 1:
+            imgs = np.repeat(imgs, 3, axis=1)
+        stats.append(detector(imgs))
+        if stats.is_full():
+            break
+    if cache_file:
+        os.makedirs(opts.cache_dir, exist_ok=True)
+        stats.save(cache_file)
+    return stats
+
+
+def compute_feature_stats_for_generator(opts: MetricOptions, max_items=None,
+                                        **stats_kwargs):
+    import jax
+    import jax.numpy as jnp
+
+    detector = get_detector(opts)
+    G, params, ds = opts.generator, opts.params, opts.dataset
+    n = max_items or opts.num_items
+    stats = FeatureStats(max_items=n, **stats_kwargs)
+    rnd = np.random.RandomState(opts.seed)
+    bs = opts.batch_size
+
+    def run(params, z, c, v):
+        ws = G.mapping(params, z, c, truncation_psi=opts.truncation_psi)
+        return G.synthesis(params, ws, c, v, noise_mode='const')['image']
+
+    if opts.jit:
+        run = jax.jit(run)
+
+    while not stats.is_full():
+        idx = rnd.randint(len(ds), size=bs)
+        c = np.stack([ds.get_label(i) for i in idx])
+        z = rnd.randn(bs, G.z_dim).astype(np.float32)
+        if opts.cond_vert:
+            v = np.stack([ds[i][2] for i in idx])
+            img = run(params, jnp.asarray(z), jnp.asarray(c), jnp.asarray(v))
+        else:
+            img = run(params, jnp.asarray(z), jnp.asarray(c), None)
+        stats.append(detector(_to_uint8(img)))
+    return stats

@@ -64,7 +64,7 @@ class TriPlaneGenerator:
                  topology_path, uv_face_eye_mask_path=None, sr_num_fp16_res=0,
                  mapping_kwargs=None, rendering_kwargs=None, sr_kwargs=None,
                  rasterizer_patch=32, rasterizer_face_chunk=2048,
-                 **synthesis_kwargs):
+                 plane_resolution=256, **synthesis_kwargs):
         self.z_dim = z_dim
         self.c_dim = c_dim
         self.w_dim = w_dim
@@ -73,7 +73,11 @@ class TriPlaneGenerator:
         self.topology_path = topology_path
         self.rendering_kwargs = dict(rendering_kwargs or {})
         self.neural_rendering_resolution = 64
-        self.uv_resolution = 256
+        # plane_resolution=256 matches the reference exactly
+        # (triplane_next3d.py:63-65,75); smaller values give cheap test/
+        # dry-run configs with the same structure
+        self.plane_resolution = plane_resolution
+        self.uv_resolution = plane_resolution
         self.rasterizer_patch = rasterizer_patch
         self.rasterizer_face_chunk = rasterizer_face_chunk
         self.load_lms = True
@@ -81,21 +85,23 @@ class TriPlaneGenerator:
 
         self.renderer = ImportanceRenderer()
         # reference: triplane_next3d.py:63-65,109
+        R = plane_resolution
         self.texture_backbone = StyleGAN2Backbone(
-            z_dim, c_dim, w_dim, img_resolution=256, img_channels=32,
+            z_dim, c_dim, w_dim, img_resolution=R, img_channels=32,
             mapping_kwargs=mapping_kwargs, **synthesis_kwargs)
         self.mouth_backbone = CondGenerator(
-            z_dim, c_dim, w_dim, img_resolution=256, img_channels=32,
+            z_dim, c_dim, w_dim, img_resolution=R, img_channels=32,
             in_size=64, final_size=4, cond_channels=32, num_cond_res=64,
             mapping_kwargs=mapping_kwargs, **synthesis_kwargs)
         self.backbone = StyleGAN2Backbone(
-            z_dim, c_dim, w_dim, img_resolution=256, img_channels=32 * 3,
+            z_dim, c_dim, w_dim, img_resolution=R, img_channels=32 * 3,
             mapping_ws=self.texture_backbone.num_ws * 2,
             mapping_kwargs=mapping_kwargs, **synthesis_kwargs)
         self.neural_blending = CondGenerator(
-            z_dim, c_dim, w_dim, cond_channels=32, img_resolution=256,
-            img_channels=32, in_size=256, final_size=32, num_cond_res=256,
-            mapping_kwargs=mapping_kwargs, **synthesis_kwargs)
+            z_dim, c_dim, w_dim, cond_channels=32, img_resolution=R,
+            img_channels=32, in_size=min(R, 256), final_size=32,
+            num_cond_res=R, mapping_kwargs=mapping_kwargs,
+            **synthesis_kwargs)
         sr_name = self.rendering_kwargs.get(
             'superresolution_module',
             'next3d_tpu.nn.superresolution.SuperresolutionHybrid8XDC')
@@ -234,7 +240,8 @@ class TriPlaneGenerator:
         lms2d: (N, 68, 2) in [-1, 1]. Returns int32 (N, 4): y0, y1, x0, x1
         with y1-y0 == x1-x0 == 2*(mask_res//2).
         """
-        lm = jax.lax.stop_gradient(lms2d) * 128.0 + 128.0
+        half_res = self.uv_resolution / 2  # 128 at the reference's 256
+        lm = jax.lax.stop_gradient(lms2d) * half_res + half_res
         outer = lm[:, 48:60]
         mouth_avg = (outer[:, 0] + outer[:, 6]) * 0.5  # (N, 2)
         ups = jnp.max(outer[..., 0], axis=1)
@@ -288,34 +295,65 @@ class TriPlaneGenerator:
             params['texture_backbone']['synthesis'], texture_ws,
             noise_mode=noise_mode, rng=_fold(rng, 0), **synthesis_kwargs)
 
-        images, alphas, lm2d_front = self.rasterize(params, v, lms, textures)
-        blended_front = self._mouth_pipeline(params, images[0], lm2d_front,
-                                             eg3d_ws, noise_mode, rng)
-
         static_plane = self.backbone.synthesis(
             params['backbone']['synthesis'], eg3d_ws, noise_mode=noise_mode,
             rng=_fold(rng, 3), **synthesis_kwargs)
         N = static_plane.shape[0]
         static_plane = static_plane.reshape(N, 3, 32,
                                             *static_plane.shape[-2:])
+        planes = self.mix_planes_from_identity(
+            params, eg3d_ws, textures, static_plane, v, lms,
+            noise_mode=noise_mode, rng=rng)
+        return planes, eg3d_ws
 
+    def mix_planes_from_identity(self, params, eg3d_ws, textures,
+                                 static_plane, v, lms, noise_mode='random',
+                                 rng=None):
+        """Expression-dependent tail: rasterize -> mouth -> blend -> alpha
+        mix. Identity inputs (textures, static_plane) can be CACHED per
+        subject — the reference recomputes them per frame
+        (SURVEY section 3.5, the reenact FPS lever)."""
+        images, alphas, lm2d_front = self.rasterize(params, v, lms, textures)
+        blended_front = self._mouth_pipeline(params, images[0], lm2d_front,
+                                             eg3d_ws, noise_mode, rng)
         alpha_image = jnp.stack(alphas, axis=1)  # (N, 3, 1, H, W)
         stitch = jnp.concatenate([blended_front, images[1], images[2]], axis=1)
         stitch = stitch.reshape(static_plane.shape)
-        return stitch * alpha_image + static_plane * (1 - alpha_image), eg3d_ws
+        return stitch * alpha_image + static_plane * (1 - alpha_image)
+
+    def synthesis_from_identity(self, params, ws, textures, static_plane,
+                                c, v, neural_rendering_resolution=None,
+                                noise_mode='random', rng=None):
+        """Full synthesis with precomputed identity (textures/static plane)."""
+        if self.load_lms:
+            v, lms = v[:, :N_FLAME_VERTS], v[:, N_FLAME_VERTS:]
+        else:
+            lms = None
+        eg3d_ws = ws[:, :self.texture_backbone.num_ws]
+        planes = self.mix_planes_from_identity(
+            params, eg3d_ws, textures, static_plane, v, lms,
+            noise_mode=noise_mode, rng=rng)
+        return self._render_from_planes(params, planes, eg3d_ws, c,
+                                        neural_rendering_resolution,
+                                        noise_mode, rng)
 
     # -------------------------------------------------------------- synthesis
     def synthesis(self, params, ws, c, v, neural_rendering_resolution=None,
                   noise_mode='random', rng=None, **synthesis_kwargs):
+        blended_planes, eg3d_ws = self.build_planes(
+            params, ws, v, noise_mode=noise_mode, rng=rng, **synthesis_kwargs)
+        return self._render_from_planes(params, blended_planes, eg3d_ws, c,
+                                        neural_rendering_resolution,
+                                        noise_mode, rng)
+
+    def _render_from_planes(self, params, blended_planes, eg3d_ws, c,
+                            neural_rendering_resolution, noise_mode, rng):
         cam2world = c[:, :16].reshape(-1, 4, 4)
         intrinsics = c[:, 16:25].reshape(-1, 3, 3)
         nrr = neural_rendering_resolution or self.neural_rendering_resolution
 
         ray_origins, ray_directions = sample_rays(cam2world, intrinsics, nrr)
         N, M, _ = ray_origins.shape
-
-        blended_planes, eg3d_ws = self.build_planes(
-            params, ws, v, noise_mode=noise_mode, rng=rng, **synthesis_kwargs)
 
         feature_samples, depth_samples, _ = self.renderer(
             _fold(rng, 4), blended_planes, (params['decoder'], self.decoder),

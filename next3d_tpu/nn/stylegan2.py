@@ -333,7 +333,13 @@ class SynthesisBlock:
     def __init__(self, in_channels, out_channels, w_dim, resolution,
                  img_channels, is_last, architecture='skip',
                  resample_filter=(1, 3, 3, 1), conv_clamp=256, use_fp16=False,
-                 fused_modconv_default=True, no_up=False, **layer_kwargs):
+                 fused_modconv_default=False, no_up=False, **layer_kwargs):
+        # fused_modconv_default=False is the TPU-first choice: the reference's
+        # fused path folds batch into conv groups (networks_stylegan2.py:81-88)
+        # which (a) defeats GSPMD batch sharding and (b) trades the shared
+        # weight for per-sample weights, hurting MXU utilization. The
+        # reference itself trains unfused ('inference_only' switch, :554-555);
+        # both paths are numerically equivalent in fp32.
         assert architecture in ('orig', 'skip', 'resnet')
         self.in_channels = in_channels
         self.out_channels = out_channels

@@ -1,0 +1,2 @@
+from .mesh import data_parallel_mesh, shard_batch, replicate
+from .stats import StatsCollector
