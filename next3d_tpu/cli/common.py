@@ -59,7 +59,8 @@ def build_generator_from_kwargs(init_kwargs, topology_path,
     kw.pop('topology_path', None)
     allowed = ('z_dim', 'c_dim', 'w_dim', 'img_resolution', 'img_channels',
                'sr_num_fp16_res', 'mapping_kwargs', 'sr_kwargs',
-               'channel_base', 'channel_max')
+               'channel_base', 'channel_max', 'plane_resolution',
+               'rasterizer_patch', 'rasterizer_face_chunk')
     kw = {k: v for k, v in kw.items() if k in allowed}
     return TriPlaneGenerator(topology_path=topology_path,
                              uv_face_eye_mask_path=uv_face_eye_mask_path,

@@ -105,11 +105,14 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         blur_init_sigma=10.0 if blur_fade_kimg > 0 else 0.0,
         blur_fade_kimg=blur_fade_kimg * batch_size / 32,
         dual_discrimination=True)
+    from ..parallel import data_parallel_mesh
     loss_obj = StyleGAN2Loss(G, D, loss_cfg)
+    devices = jax.devices()[:num_devices] if num_devices else None
     step = TrainStep(
         loss_obj,
         make_optimizer(glr, 0.0, 0.99, 1e-8, reg_interval=4),
-        make_optimizer(dlr, 0.0, 0.99, 1e-8, reg_interval=16))
+        make_optimizer(dlr, 0.0, 0.99, 1e-8, reg_interval=16),
+        mesh=data_parallel_mesh(devices))
 
     config = dict(outdir=outdir, data=data_path, batch=batch_size,
                   gamma=r1_gamma, kimg=total_kimg, glr=glr, dlr=dlr,

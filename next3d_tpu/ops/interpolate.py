@@ -26,26 +26,28 @@ def _contributions_1d(in_size: int, out_size: int, antialias: bool):
     antialias=False and _upsample_bilinear2d_aa (triangle kernel, PIL-style)
     for antialias=True. Returns (idx (out, taps) int32, w (out, taps) f32).
     """
+    # static-shape index/weight tables: computed on host in float64
+    import numpy as np
     scale = in_size / out_size
     # source center for each output pixel (half-pixel convention)
-    out_coords = (jnp.arange(out_size, dtype=jnp.float64) + 0.5) * scale - 0.5
+    out_coords = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
     support = max(scale, 1.0) if antialias else 1.0
     filterscale = max(scale, 1.0) if antialias else 1.0
     taps = int(2 * support) + 2
 
-    left = jnp.floor(out_coords - support).astype(jnp.int32) + 1
-    k = jnp.arange(taps, dtype=jnp.int32)[None, :]
+    left = np.floor(out_coords - support).astype(np.int32) + 1
+    k = np.arange(taps, dtype=np.int32)[None, :]
     idx = left[:, None] + k  # (out, taps)
-    dist = (idx.astype(jnp.float64) - out_coords[:, None]) / filterscale
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(dist))  # triangle kernel
+    dist = (idx.astype(np.float64) - out_coords[:, None]) / filterscale
+    w = np.maximum(0.0, 1.0 - np.abs(dist))  # triangle kernel
     if antialias:
         # torch/PIL drop out-of-range taps and renormalize over the rest
-        w = jnp.where((idx >= 0) & (idx < in_size), w, 0.0)
+        w = np.where((idx >= 0) & (idx < in_size), w, 0.0)
     # (for antialias=False, clamping indices reproduces torch's source-index
     # clamp at the borders; the weights already sum to 1)
-    idx = jnp.clip(idx, 0, in_size - 1)
-    w = w / jnp.sum(w, axis=1, keepdims=True)
-    return idx, w.astype(jnp.float32)
+    idx = np.clip(idx, 0, in_size - 1)
+    w = w / np.sum(w, axis=1, keepdims=True)
+    return jnp.asarray(idx), jnp.asarray(w.astype(np.float32))
 
 
 def interpolate_bilinear(x, size, antialias=False):

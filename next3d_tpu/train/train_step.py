@@ -3,11 +3,18 @@
 Replaces the reference's host-driven gradient plumbing
 (training_avatar_texture/training_loop.py:311-394: manual grad flatten ->
 all_reduce -> /world -> nan_to_num -> opt.step, params broadcast at startup,
-NCCL process groups) with GSPMD data parallelism: each phase is ONE
-jit-compiled function over a 1-D device Mesh('data'); the batch is sharded
-on the data axis, params/optimizer state are replicated, and XLA inserts the
-gradient psum over ICI automatically. nan_to_num scrubbing (reference
-:356) is applied to the grads inside the step.
+NCCL process groups) with explicit SPMD over a 1-D Mesh('data'): each phase
+computes per-device gradients under ``jax.shard_map`` (batch sharded on the
+data axis, params replicated) and reduces them with ONE ``lax.pmean`` over
+ICI — exactly the collective structure of the reference's
+all_reduce-then-divide (training_loop.py:352-355). Optimizer updates run on
+the replicated params outside the shard_map. nan_to_num scrubbing
+(reference :356) is applied to the reduced grads.
+
+shard_map (not GSPMD auto-sharding) is deliberate: the rasterizer's
+scatter/gather graphs partition trivially when the batch axis is explicit,
+and the per-device program matches the reference's per-GPU semantics
+(local minibatch-std groups, local conditioning-swap roll).
 
 Lazy-regularization optimizer scaling (reference training_loop.py:252-263):
 when a reg interval is set, lr and Adam betas are scaled by
@@ -24,6 +31,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
 
 NON_TRAINABLE_LEAVES = ('w_avg', 'noise_const', 'orth_scale', 'orth_shift')
 W_AVG_BETA = 0.998  # reference networks_stylegan2.py:204
@@ -72,12 +80,16 @@ def _masked(grads, mask):
 
 
 class TrainStep:
-    """Builds the four jit-compiled phase functions."""
+    """Builds the four jit-compiled phase functions.
 
-    def __init__(self, loss_obj, opt_G, opt_D):
+    mesh: a 1-D Mesh(('data',)) for SPMD, or None for single-device.
+    """
+
+    def __init__(self, loss_obj, opt_G, opt_D, mesh=None):
         self.loss = loss_obj
         self.opt_G = opt_G
         self.opt_D = opt_D
+        self.mesh = mesh
         self._gmask = None
         self._dmask = None
 
@@ -101,21 +113,44 @@ class TrainStep:
             self._dmask = trainable_mask(state.params_D)
         return self._gmask, self._dmask
 
-    def _update_w_avg(self, params_G, w_mean):
-        """Reference MappingNetwork w_avg EMA (networks_stylegan2.py:251-253):
-        w_avg <- lerp(mean_w, w_avg, beta)."""
-        def upd(p):
-            m = p['backbone']['mapping']
-            m = dict(m, w_avg=w_mean + W_AVG_BETA * (m['w_avg'] - w_mean))
-            return dict(p, backbone=dict(p['backbone'], mapping=m))
-        return upd(params_G)
+    # ------------------------------------------------------------- SPMD glue
+    def _spmd_grads(self, local_fn, arg_specs):
+        """Wrap a per-device (grads, aux...) fn in shard_map + pmean.
+
+        ``local_fn(rng, *args)`` runs with the batch shard; the wrapper folds
+        the device index into rng (each device draws independent noise, like
+        the reference's per-rank seeds, training_loop.py:136-137) and pmeans
+        every output (== all_reduce grads / world, training_loop.py:352-355).
+        """
+        if self.mesh is None:
+            return lambda rng, *args: local_fn(rng, *args)
+
+        def wrapped(rng, *args):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index('data'))
+            outs = local_fn(rng, *args)
+            return jax.tree.map(lambda x: jax.lax.pmean(x, 'data'), outs)
+
+        return jax.shard_map(wrapped, mesh=self.mesh,
+                             in_specs=(P(),) + tuple(arg_specs),
+                             out_specs=P(),
+                             check_vma=False)
+
+    @staticmethod
+    def _batch_spec():
+        return {'gen_z': P('data'), 'gen_c': P('data'), 'gen_v': P('data'),
+                'real_c': P('data')}
 
     # ---------------------------------------------------------------- phases
     @partial(jax.jit, static_argnums=(0, 7))
     def gmain(self, state_pg, state_og, params_D, batch, rng, sched, nrr):
-        (loss, (stats, w_mean)), grads = jax.value_and_grad(
-            self.loss.gmain_loss, has_aux=True)(state_pg, params_D, batch,
-                                                rng, sched, nrr)
+        def local(rng, pg, pd, batch, sched):
+            (loss, (stats, w_mean)), grads = jax.value_and_grad(
+                self.loss.gmain_loss, has_aux=True)(pg, pd, batch, rng,
+                                                    sched, nrr)
+            return grads, stats, w_mean
+
+        fn = self._spmd_grads(local, (P(), P(), self._batch_spec(), P()))
+        grads, stats, w_mean = fn(rng, state_pg, params_D, batch, sched)
         grads = _masked(grads, self._gmask)
         updates, new_og = self.opt_G.update(grads, state_og, state_pg)
         new_pg = optax.apply_updates(state_pg, updates)
@@ -124,11 +159,15 @@ class TrainStep:
 
     @partial(jax.jit, static_argnums=(0, 5))
     def greg(self, state_pg, state_og, batch, rng, gain, sched):
-        def scaled(pg):
-            loss, aux = self.loss.greg_loss(pg, batch, rng, sched)
-            return loss * gain, aux
-        (loss, (stats,)), grads = jax.value_and_grad(scaled, has_aux=True)(
-            state_pg)
+        def local(rng, pg, batch, sched):
+            def scaled(pg):
+                loss, (stats,) = self.loss.greg_loss(pg, batch, rng, sched)
+                return loss * gain, stats
+            (loss, stats), grads = jax.value_and_grad(scaled, has_aux=True)(pg)
+            return grads, stats
+
+        fn = self._spmd_grads(local, (P(), self._batch_spec(), P()))
+        grads, stats = fn(rng, state_pg, batch, sched)
         grads = _masked(grads, self._gmask)
         updates, new_og = self.opt_G.update(grads, state_og, state_pg)
         new_pg = optax.apply_updates(state_pg, updates)
@@ -137,11 +176,18 @@ class TrainStep:
     @partial(jax.jit, static_argnums=(0, 8))
     def dmain(self, params_pd, state_od, params_G, batch, real_img, rng, sched,
               nrr):
-        real = self.loss.prepare_real(real_img, sched['blur_sigma'], nrr)
-        real = jax.tree.map(jax.lax.stop_gradient, real)
-        (loss, (stats, w_mean)), grads = jax.value_and_grad(
-            self.loss.dmain_loss, has_aux=True)(params_pd, params_G, batch,
-                                                real, rng, sched, nrr)
+        def local(rng, pd, pg, batch, real_img, sched):
+            real = self.loss.prepare_real(real_img, sched['blur_sigma'], nrr)
+            real = jax.tree.map(jax.lax.stop_gradient, real)
+            (loss, (stats, w_mean)), grads = jax.value_and_grad(
+                self.loss.dmain_loss, has_aux=True)(pd, pg, batch, real, rng,
+                                                    sched, nrr)
+            return grads, stats, w_mean
+
+        fn = self._spmd_grads(local, (P(), P(), self._batch_spec(),
+                                      P('data'), P()))
+        grads, stats, w_mean = fn(rng, params_pd, params_G, batch, real_img,
+                                  sched)
         grads = _masked(grads, self._dmask)
         updates, new_od = self.opt_D.update(grads, state_od, params_pd)
         new_pd = optax.apply_updates(params_pd, updates)
@@ -152,18 +198,30 @@ class TrainStep:
 
     @partial(jax.jit, static_argnums=(0, 5, 8))
     def dreg(self, params_pd, state_od, batch, real_img, gain, rng, sched, nrr):
-        real = self.loss.prepare_real(real_img, sched['blur_sigma'], nrr)
-        real = jax.tree.map(jax.lax.stop_gradient, real)
+        def local(rng, pd, batch, real_img, sched):
+            real = self.loss.prepare_real(real_img, sched['blur_sigma'], nrr)
+            real = jax.tree.map(jax.lax.stop_gradient, real)
 
-        def scaled(pd):
-            loss, aux = self.loss.dreg_loss(pd, batch, real, rng, sched)
-            return loss * gain, aux
-        (loss, (stats,)), grads = jax.value_and_grad(scaled, has_aux=True)(
-            params_pd)
+            def scaled(pd):
+                loss, (stats,) = self.loss.dreg_loss(pd, batch, real, rng,
+                                                     sched)
+                return loss * gain, stats
+            (loss, stats), grads = jax.value_and_grad(scaled, has_aux=True)(pd)
+            return grads, stats
+
+        fn = self._spmd_grads(local, (P(), self._batch_spec(), P('data'), P()))
+        grads, stats = fn(rng, params_pd, batch, real_img, sched)
         grads = _masked(grads, self._dmask)
         updates, new_od = self.opt_D.update(grads, state_od, params_pd)
         new_pd = optax.apply_updates(params_pd, updates)
         return new_pd, new_od, stats
+
+    def _update_w_avg(self, params_G, w_mean):
+        """Reference MappingNetwork w_avg EMA (networks_stylegan2.py:251-253):
+        w_avg <- lerp(mean_w, w_avg, beta)."""
+        m = params_G['backbone']['mapping']
+        m = dict(m, w_avg=w_mean + W_AVG_BETA * (m['w_avg'] - w_mean))
+        return dict(params_G, backbone=dict(params_G['backbone'], mapping=m))
 
     @partial(jax.jit, static_argnums=0)
     def ema_update(self, params_G_ema, params_G, ema_beta):

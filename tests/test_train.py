@@ -46,7 +46,8 @@ def setup():
     loss = StyleGAN2Loss(G, D, cfg)
     step = TrainStep(loss,
                      make_optimizer(0.0025, 0.0, 0.99, 1e-8, reg_interval=4),
-                     make_optimizer(0.002, 0.0, 0.99, 1e-8, reg_interval=16))
+                     make_optimizer(0.002, 0.0, 0.99, 1e-8, reg_interval=16),
+                     mesh=data_parallel_mesh())
     state = step.init_state(jax.random.PRNGKey(0))
     return G, D, loss, step, state
 
