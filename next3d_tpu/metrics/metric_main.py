@@ -55,3 +55,19 @@ def fid2k_full(opts):
 def kid50k_full(opts):
     from .kernel_inception_distance import compute_kid
     return {'kid50k_full': compute_kid(opts, max_real=1000000, num_gen=50000)}
+
+
+@register_metric
+def pr50k3_full(opts):
+    from .precision_recall import compute_pr
+    precision, recall = compute_pr(opts, max_real=200000, num_gen=50000,
+                                   nhood_size=3)
+    return {'pr50k3_full_precision': precision,
+            'pr50k3_full_recall': recall}
+
+
+@register_metric
+def is50k(opts):
+    from .inception_score import compute_is
+    mean, std = compute_is(opts, num_gen=50000, num_splits=10)
+    return {'is50k_mean': mean, 'is50k_std': std}

@@ -23,6 +23,8 @@ from .discriminator import (
     DiscriminatorEpilogue,
     Discriminator,
     DualDiscriminator,
+    DualLabelDualDiscriminator,
+    DummyDualDiscriminator,
     SingleDiscriminator,
     filtered_resizing,
 )

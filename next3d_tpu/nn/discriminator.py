@@ -264,6 +264,110 @@ class DualDiscriminator:
         return self.disc(params, x, c, force_fp32=force_fp32)
 
 
+class DualLabelDualDiscriminator:
+    """Dual-D with SEPARATE mapping networks for the 25-dim camera label and
+    the 50-dim expression label (reference: dual_discriminator.py:181-260);
+    the two cmaps are concatenated for the epilogue projection."""
+
+    def __init__(self, c_dim, c2_dim, img_resolution, img_channels,
+                 architecture='resnet', channel_base=32768, channel_max=512,
+                 num_fp16_res=4, conv_clamp=256, cmap_dim=None, disc_c_noise=0,
+                 block_kwargs=None, mapping_kwargs=None, epilogue_kwargs=None):
+        img_channels *= 2
+        self.c_dim = c_dim
+        self.c2_dim = c2_dim
+        self.img_resolution = img_resolution
+        self.img_resolution_log2 = int(np.log2(img_resolution))
+        self.block_resolutions = [2 ** i for i in
+                                  range(self.img_resolution_log2, 2, -1)]
+        channels_dict = {res: channels_for(res, channel_base, channel_max)
+                         for res in self.block_resolutions + [4]}
+        fp16_resolution = max(2 ** (self.img_resolution_log2 + 1 - num_fp16_res), 8)
+        if cmap_dim is None:
+            cmap_dim = channels_dict[4]
+        if c_dim == 0:
+            cmap_dim = 0
+        self.cmap_dim = cmap_dim
+        self.disc_c_noise = disc_c_noise
+        self.resample_filter = setup_filter([1, 3, 3, 1])
+
+        common = dict(img_channels=img_channels, architecture=architecture,
+                      conv_clamp=conv_clamp)
+        self.blocks = {}
+        cur_layer_idx = 0
+        for res in self.block_resolutions:
+            in_channels = channels_dict[res] if res < img_resolution else 0
+            block = DiscriminatorBlock(in_channels, channels_dict[res],
+                                       channels_dict[res // 2], resolution=res,
+                                       first_layer_idx=cur_layer_idx,
+                                       use_fp16=(res >= fp16_resolution),
+                                       **(block_kwargs or {}), **common)
+            self.blocks[res] = block
+            cur_layer_idx += block.num_layers
+        self.mapping = MappingNetwork(z_dim=0, c_dim=c_dim, w_dim=cmap_dim,
+                                      num_ws=None, w_avg_beta=None,
+                                      **(mapping_kwargs or {}))
+        self.mapping2 = MappingNetwork(z_dim=0, c_dim=c2_dim, w_dim=32,
+                                       num_ws=None, w_avg_beta=None,
+                                       **(mapping_kwargs or {}))
+        self.b4 = DiscriminatorEpilogue(channels_dict[4],
+                                        cmap_dim=cmap_dim + 32, resolution=4,
+                                        **(epilogue_kwargs or {}), **common)
+
+    def init(self, key):
+        params = {}
+        for i, res in enumerate(self.block_resolutions):
+            params[f'b{res}'] = self.blocks[res].init(jax.random.fold_in(key, i))
+        params['mapping'] = self.mapping.init(jax.random.fold_in(key, 101))
+        params['mapping2'] = self.mapping2.init(jax.random.fold_in(key, 102))
+        params['b4'] = self.b4.init(jax.random.fold_in(key, 103))
+        return params
+
+    def __call__(self, params, img, c, rng=None, force_fp32=True):
+        c1, c2 = c[:, :self.c_dim], c[:, self.c_dim:]
+        assert c2.shape[1] == self.c2_dim
+        image_raw = filtered_resizing(img['image_raw'],
+                                      size=img['image'].shape[-1],
+                                      f=self.resample_filter)
+        x_img = jnp.concatenate([img['image'], image_raw], axis=1)
+        if self.disc_c_noise > 0:
+            assert rng is not None
+            k1, k2 = jax.random.split(rng)
+            c1 = c1 + jax.random.normal(k1, c1.shape) * jnp.std(c1, 0) * self.disc_c_noise
+            c2 = c2 + jax.random.normal(k2, c2.shape) * jnp.std(c2, 0) * self.disc_c_noise
+        x = None
+        for res in self.block_resolutions:
+            x, x_img = self.blocks[res](params[f'b{res}'], x, x_img,
+                                        force_fp32=force_fp32)
+        cmap1 = self.mapping(params['mapping'], None, c1)
+        cmap2 = self.mapping2(params['mapping2'], None, c2)
+        cmap = jnp.concatenate([cmap1, cmap2], axis=1)
+        return self.b4(params['b4'], x, x_img, cmap)
+
+
+class DummyDualDiscriminator:
+    """Dual-D whose raw branch fades out over ~500k images
+    (reference: dual_discriminator.py:265-330). The fade factor is driven by
+    cur_nimg (pass via __call__) instead of the reference's mutable counter."""
+
+    def __init__(self, c_dim, img_resolution, img_channels, **disc_kwargs):
+        self.disc = Discriminator(c_dim, img_resolution, img_channels * 2,
+                                  **disc_kwargs)
+        self.c_dim = c_dim
+        self.resample_filter = setup_filter([1, 3, 3, 1])
+
+    def init(self, key):
+        return self.disc.init(key)
+
+    def __call__(self, params, img, c, rng=None, force_fp32=True, cur_nimg=0):
+        raw_fade = jnp.maximum(0.0, 1.0 - cur_nimg / 500000.0)
+        image_raw = filtered_resizing(img['image_raw'],
+                                      size=img['image'].shape[-1],
+                                      f=self.resample_filter) * raw_fade
+        x = jnp.concatenate([img['image'], image_raw], axis=1)
+        return self.disc(params, x, c, force_fp32=force_fp32)
+
+
 class SingleDiscriminator:
     """D on the full-res image only (reference: dual_discriminator.py:21-82)."""
 
