@@ -31,12 +31,13 @@ def main():
     import __graft_entry__ as ge
 
     batch = int(os.environ.get('NEXT3D_BENCH_BATCH', '4'))
+    use_bf16 = os.environ.get('NEXT3D_BENCH_BF16', '1') == '1'
 
     from next3d_tpu.models import TriPlaneGenerator
     G = TriPlaneGenerator(
         z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,
         topology_path=ge.DEMO_OBJ, rendering_kwargs=ge.RENDER_KW_FFHQ,
-        sr_num_fp16_res=4)
+        sr_num_fp16_res=4, force_fp32=not use_bf16)
     params = G.init(jax.random.PRNGKey(0))
 
     @jax.jit

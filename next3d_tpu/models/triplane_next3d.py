@@ -64,7 +64,8 @@ class TriPlaneGenerator:
                  topology_path, uv_face_eye_mask_path=None, sr_num_fp16_res=0,
                  mapping_kwargs=None, rendering_kwargs=None, sr_kwargs=None,
                  rasterizer_patch=32, rasterizer_face_chunk=2048,
-                 plane_resolution=256, **synthesis_kwargs):
+                 rasterizer_impl='tiled', rasterizer_tile_capacity=448,
+                 plane_resolution=256, force_fp32=True, **synthesis_kwargs):
         self.z_dim = z_dim
         self.c_dim = c_dim
         self.w_dim = w_dim
@@ -80,6 +81,12 @@ class TriPlaneGenerator:
         self.uv_resolution = plane_resolution
         self.rasterizer_patch = rasterizer_patch
         self.rasterizer_face_chunk = rasterizer_face_chunk
+        self.rasterizer_impl = rasterizer_impl
+        self.rasterizer_tile_capacity = rasterizer_tile_capacity
+        # force_fp32=True pins every block to fp32 (parity mode; the
+        # reference trains G in fp32, train_next3d.py:196-198). False lets
+        # use_fp16 blocks run bfloat16 — the TPU fast path.
+        self.force_fp32 = force_fp32
         self.load_lms = True
         mapping_kwargs = mapping_kwargs or {}
 
@@ -204,7 +211,9 @@ class TriPlaneGenerator:
                                  (V * N,) + self.face_uvcoords.shape)
         rendering = rasterize_with_attributes(
             tv, jnp.asarray(self.faces), attrs, self.uv_resolution,
-            patch=self.rasterizer_patch, face_chunk=self.rasterizer_face_chunk)
+            patch=self.rasterizer_patch, face_chunk=self.rasterizer_face_chunk,
+            impl=self.rasterizer_impl,
+            tile_capacity=self.rasterizer_tile_capacity)
         # (V*N, 4, H, W): (u, v, 1, alpha)
         alpha = jax.lax.stop_gradient(rendering[:, -1:])
         uv_img = rendering[:, :-1]
@@ -268,14 +277,16 @@ class TriPlaneGenerator:
         )(rendering_front, boxes, size)
         mouths_plane = self.mouth_backbone.synthesis(
             params['mouth_backbone']['synthesis'], crop, eg3d_ws,
-            noise_mode=noise_mode, rng=_fold(rng, 1))
+            noise_mode=noise_mode, rng=_fold(rng, 1),
+            force_fp32=self.force_fp32)
         stitched = jax.vmap(
             lambda img, patch, b, s: paste_resized_region(img, patch, b[0],
                                                           b[2], s, s)
         )(rendering_front, mouths_plane, boxes, size)
         return self.neural_blending.synthesis(
             params['neural_blending']['synthesis'], stitched, eg3d_ws,
-            noise_mode=noise_mode, rng=_fold(rng, 2))
+            noise_mode=noise_mode, rng=_fold(rng, 2),
+            force_fp32=self.force_fp32)
 
     # ----------------------------------------------------------- plane build
     def build_planes(self, params, ws, v, noise_mode='random', rng=None,
@@ -293,11 +304,13 @@ class TriPlaneGenerator:
 
         textures = self.texture_backbone.synthesis(
             params['texture_backbone']['synthesis'], texture_ws,
-            noise_mode=noise_mode, rng=_fold(rng, 0), **synthesis_kwargs)
+            noise_mode=noise_mode, rng=_fold(rng, 0),
+            force_fp32=self.force_fp32, **synthesis_kwargs)
 
         static_plane = self.backbone.synthesis(
             params['backbone']['synthesis'], eg3d_ws, noise_mode=noise_mode,
-            rng=_fold(rng, 3), **synthesis_kwargs)
+            rng=_fold(rng, 3), force_fp32=self.force_fp32,
+            **synthesis_kwargs)
         N = static_plane.shape[0]
         static_plane = static_plane.reshape(N, 3, 32,
                                             *static_plane.shape[-2:])
@@ -369,7 +382,8 @@ class TriPlaneGenerator:
                                              noise_mode)
         sr_image = self.superresolution(
             params['superresolution'], rgb_image, feature_image, eg3d_ws,
-            noise_mode=sr_noise, rng=_fold(rng, 5))
+            noise_mode=sr_noise, rng=_fold(rng, 5),
+            force_fp32=self.force_fp32)
 
         return {'image': sr_image, 'image_raw': rgb_image,
                 'image_depth': depth_image}

@@ -60,7 +60,9 @@ class TriPlaneTextureGenerator(TriPlaneGenerator):
                                  (V * N,) + self.face_uvcoords.shape)
         rendering = rasterize_with_attributes(
             tv, jnp.asarray(self.faces), attrs, self.uv_resolution,
-            patch=self.rasterizer_patch, face_chunk=self.rasterizer_face_chunk)
+            patch=self.rasterizer_patch, face_chunk=self.rasterizer_face_chunk,
+            impl=self.rasterizer_impl,
+            tile_capacity=self.rasterizer_tile_capacity)
         alpha = jax.lax.stop_gradient(rendering[:, -1:])
         grid = jax.lax.stop_gradient(
             rendering[:, :-1].transpose(0, 2, 3, 1)[..., :2])
@@ -91,10 +93,11 @@ class TriPlaneTextureGenerator(TriPlaneGenerator):
         eg3d_ws, texture_ws = ws[:, :n_tex], ws[:, n_tex:]
         planes = self.backbone.synthesis(
             params['backbone']['synthesis'], eg3d_ws, noise_mode=noise_mode,
-            rng=_fold(rng, 3), **synthesis_kwargs)
+            rng=_fold(rng, 3), force_fp32=self.force_fp32, **synthesis_kwargs)
         textures = self.texture_backbone.synthesis(
             params['texture_backbone']['synthesis'], texture_ws,
-            noise_mode=noise_mode, rng=_fold(rng, 0), **synthesis_kwargs)
+            noise_mode=noise_mode, rng=_fold(rng, 0),
+            force_fp32=self.force_fp32, **synthesis_kwargs)
         renderings, alphas = self.rasterize_orth(params, v, textures)
         N = planes.shape[0]
         planes = planes.reshape(N, 3, 32, *planes.shape[-2:])

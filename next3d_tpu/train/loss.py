@@ -46,6 +46,7 @@ class LossConfig:
     reg_type: str = 'l1'
     box_warp: float = 1.0
     style_mixing_prob: float = 0.0
+    num_frames: int = 1  # video clips per item (reference loss.py:88-108)
 
 
 def gaussian_blur_dynamic(img, blur_sigma, max_size):
@@ -85,6 +86,21 @@ class StyleGAN2Loss:
         self.cfg = cfg
         self.resample_filter = setup_filter([1, 3, 3, 1])
         self.blur_max_size = int(np.floor(cfg.blur_init_sigma * 3))
+
+    def flatten_clips(self, batch, real_img):
+        """Video training: (B, T, ...) clips -> (B*T, ...) with gen_z
+        repeat-interleaved per frame (reference loss.py:102-108). D then sees
+        frames of a clip as extra channels via run_D's reshape."""
+        T = self.cfg.num_frames
+        if T <= 1:
+            return batch, real_img
+        out = dict(batch)
+        out['gen_z'] = jnp.repeat(batch['gen_z'], T, axis=0)
+        for k in ('gen_c', 'gen_v', 'real_c'):
+            v = batch[k]
+            out[k] = v.reshape((-1,) + v.shape[2:])
+        real_img = real_img.reshape((-1,) + real_img.shape[2:])
+        return out, real_img
 
     # ------------------------------------------------------------ schedules
     def schedules(self, cur_nimg):
@@ -142,8 +158,14 @@ class StyleGAN2Loss:
                 lambda x: gaussian_blur_dynamic(x, blur_sigma,
                                                 self.blur_max_size),
                 lambda x: x, image)
-        return self.D(params_D, {'image': image, 'image_raw': img['image_raw']},
-                      c, rng=rng, force_fp32=True)
+        img = {'image': image, 'image_raw': img['image_raw']}
+        T = self.cfg.num_frames
+        if T > 1:
+            # fold clip frames into channels (reference loss.py:88-94)
+            img = {k: v.reshape(-1, T * v.shape[1], *v.shape[2:])
+                   for k, v in img.items()}
+            c = c.reshape(-1, T * c.shape[-1])
+        return self.D(params_D, img, c, rng=rng, force_fp32=True)
 
     def prepare_real(self, real_img, blur_sigma, nrr):
         """Antialiased raw-branch target + optional blur (reference :126-134)."""

@@ -51,7 +51,16 @@ def load_obj(path) -> ObjMesh:
 
 
 def load_obj_verts(path) -> np.ndarray:
-    """Vertices only (dataset fast path; reference: dataset.py:356-371)."""
+    """Vertices only (dataset fast path; reference: dataset.py:356-371).
+
+    Uses the native C++ parser when available (next3d_tpu/native)."""
+    try:
+        from ..native.build import parse_vertices
+        fast = parse_vertices(path)
+        if fast is not None:
+            return fast
+    except Exception:
+        pass
     verts = []
     with open(path, 'r') as f:
         for line in f:
@@ -63,5 +72,12 @@ def load_obj_verts(path) -> np.ndarray:
 
 def load_lms(path) -> np.ndarray:
     """Landmark .txt: whitespace floats, one landmark per line
-    (reference: dataset.py:373-376)."""
+    (reference: dataset.py:373-376). Native fast path when available."""
+    try:
+        from ..native.build import parse_floats
+        fast = parse_floats(path)
+        if fast is not None and fast.size % 3 == 0:
+            return fast.reshape(-1, 3)
+    except Exception:
+        pass
     return np.loadtxt(path, dtype=np.float32)
