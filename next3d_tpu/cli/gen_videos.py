@@ -46,7 +46,6 @@ def generate_video(network_path, seeds, truncation_psi=0.7,
                    obj_path='/root/reference/data/demo/demo.obj',
                    lms_path='/root/reference/data/demo/demo_kpt2d.txt',
                    generator=None, params=None):
-    import imageio
     import jax
     import jax.numpy as jnp
     from scipy import interpolate as sinterp
@@ -81,8 +80,8 @@ def generate_video(network_path, seeds, truncation_psi=0.7,
         return G.synthesis(params, w, c, v, noise_mode='const')['image']
 
     video_path = os.path.join(outdir, 'interpolation.mp4')
-    writer = imageio.get_writer(video_path, mode='I', fps=fps,
-                                codec='libx264', bitrate='10M')
+    from ..utils.video import VideoWriter
+    writer = VideoWriter(video_path, fps=fps)
     total = num_keyframes * w_frames
     for frame_idx in range(total):
         imgs = []
@@ -109,9 +108,9 @@ def generate_video(network_path, seeds, truncation_psi=0.7,
             canvas[:, yy * H:(yy + 1) * H, xx * H:(xx + 1) * H] = img
         frame = np.clip((canvas.transpose(1, 2, 0) + 1) * 127.5,
                         0, 255).astype(np.uint8)
-        writer.append_data(frame)
-    writer.close()
-    print(f'wrote {video_path}')
+        writer.append(frame)
+    out = writer.close()
+    print(f'wrote {out}')
 
 
 if __name__ == '__main__':

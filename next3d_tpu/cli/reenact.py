@@ -77,7 +77,6 @@ def reenact(network_path, drive_root, seeds=(166,), truncation_psi=0.7,
             truncation_cutoff=14, outdir='out', fps=30,
             topology_path='/root/reference/data/demo/demo.obj',
             generator=None, params=None):
-    import imageio
     import jax
     import jax.numpy as jnp
     from ..utils.checkpoint import load_any_generator
@@ -118,16 +117,16 @@ def reenact(network_path, drive_root, seeds=(166,), truncation_psi=0.7,
                         .randn(1, G.z_dim).astype(np.float32))
         ws, textures, static = identity(params, z)
         path = os.path.join(outdir, f'reenact_seed{seed:04d}.mp4')
-        writer = imageio.get_writer(path, mode='I', fps=fps, codec='libx264',
-                                    bitrate='10M')
+        from ..utils.video import VideoWriter
+        writer = VideoWriter(path, fps=fps)
         for i in range(len(cs)):
             img = np.asarray(reenact_step(params, ws, textures, static,
                                           cs[i][None], vs[i][None]))
             frame = np.clip((img[0].transpose(1, 2, 0) + 1) * 127.5,
                             0, 255).astype(np.uint8)
-            writer.append_data(frame)
-        writer.close()
-        print(f'wrote {path} ({len(cs)} frames)')
+            writer.append(frame)
+        out = writer.close()
+        print(f'wrote {out} ({len(cs)} frames)')
 
 
 if __name__ == '__main__':

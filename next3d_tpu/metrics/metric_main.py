@@ -71,3 +71,10 @@ def is50k(opts):
     from .inception_score import compute_is
     mean, std = compute_is(opts, num_gen=50000, num_splits=10)
     return {'is50k_mean': mean, 'is50k_std': std}
+
+
+@register_metric
+def ppl2_wend(opts):
+    from .perceptual_path_length import compute_ppl
+    return {'ppl2_wend': compute_ppl(opts, num_samples=2000, epsilon=1e-4,
+                                     space='w', sampling='end')}

@@ -302,15 +302,17 @@ class TriPlaneGenerator:
         n_tex = self.texture_backbone.num_ws
         eg3d_ws, texture_ws = ws[:, :n_tex], ws[:, n_tex:]
 
-        textures = self.texture_backbone.synthesis(
-            params['texture_backbone']['synthesis'], texture_ws,
-            noise_mode=noise_mode, rng=_fold(rng, 0),
-            force_fp32=self.force_fp32, **synthesis_kwargs)
+        with jax.named_scope('texture_backbone'):
+            textures = self.texture_backbone.synthesis(
+                params['texture_backbone']['synthesis'], texture_ws,
+                noise_mode=noise_mode, rng=_fold(rng, 0),
+                force_fp32=self.force_fp32, **synthesis_kwargs)
 
-        static_plane = self.backbone.synthesis(
-            params['backbone']['synthesis'], eg3d_ws, noise_mode=noise_mode,
-            rng=_fold(rng, 3), force_fp32=self.force_fp32,
-            **synthesis_kwargs)
+        with jax.named_scope('static_backbone'):
+            static_plane = self.backbone.synthesis(
+                params['backbone']['synthesis'], eg3d_ws, noise_mode=noise_mode,
+                rng=_fold(rng, 3), force_fp32=self.force_fp32,
+                **synthesis_kwargs)
         N = static_plane.shape[0]
         static_plane = static_plane.reshape(N, 3, 32,
                                             *static_plane.shape[-2:])
@@ -326,9 +328,12 @@ class TriPlaneGenerator:
         mix. Identity inputs (textures, static_plane) can be CACHED per
         subject — the reference recomputes them per frame
         (SURVEY section 3.5, the reenact FPS lever)."""
-        images, alphas, lm2d_front = self.rasterize(params, v, lms, textures)
-        blended_front = self._mouth_pipeline(params, images[0], lm2d_front,
-                                             eg3d_ws, noise_mode, rng)
+        with jax.named_scope('rasterize'):
+            images, alphas, lm2d_front = self.rasterize(params, v, lms,
+                                                        textures)
+        with jax.named_scope('mouth_pipeline'):
+            blended_front = self._mouth_pipeline(params, images[0], lm2d_front,
+                                                 eg3d_ws, noise_mode, rng)
         alpha_image = jnp.stack(alphas, axis=1)  # (N, 3, 1, H, W)
         stitch = jnp.concatenate([blended_front, images[1], images[2]], axis=1)
         stitch = stitch.reshape(static_plane.shape)
@@ -368,9 +373,11 @@ class TriPlaneGenerator:
         ray_origins, ray_directions = sample_rays(cam2world, intrinsics, nrr)
         N, M, _ = ray_origins.shape
 
-        feature_samples, depth_samples, _ = self.renderer(
-            _fold(rng, 4), blended_planes, (params['decoder'], self.decoder),
-            ray_origins, ray_directions, self.rendering_kwargs)
+        with jax.named_scope('volume_render'):
+            feature_samples, depth_samples, _ = self.renderer(
+                _fold(rng, 4), blended_planes,
+                (params['decoder'], self.decoder), ray_origins,
+                ray_directions, self.rendering_kwargs)
 
         H = W = nrr
         feature_image = feature_samples.transpose(0, 2, 1).reshape(
@@ -380,10 +387,11 @@ class TriPlaneGenerator:
         rgb_image = feature_image[:, :3]
         sr_noise = self.rendering_kwargs.get('superresolution_noise_mode',
                                              noise_mode)
-        sr_image = self.superresolution(
-            params['superresolution'], rgb_image, feature_image, eg3d_ws,
-            noise_mode=sr_noise, rng=_fold(rng, 5),
-            force_fp32=self.force_fp32)
+        with jax.named_scope('superresolution'):
+            sr_image = self.superresolution(
+                params['superresolution'], rgb_image, feature_image, eg3d_ws,
+                noise_mode=sr_noise, rng=_fold(rng, 5),
+                force_fp32=self.force_fp32)
 
         return {'image': sr_image, 'image_raw': rgb_image,
                 'image_depth': depth_image}

@@ -46,16 +46,19 @@ def grid_sample_2d(input, grid):
     x1 = x0 + 1
     y1 = y0 + 1
 
-    feat = input.reshape(N, C, H * W)
+    # TPU-friendly layout: gather ROWS of (H*W, C) — each lookup pulls a
+    # contiguous C-vector (embedding-lookup pattern) instead of strided
+    # per-channel element gathers from (C, H*W).
+    feat = input.transpose(0, 2, 3, 1).reshape(N, H * W, C)
 
     def corner(xi, yi, wxi, wyi):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
         idx = idx.reshape(N, Ho * Wo)
-        g = jax.vmap(lambda im, ix: im[:, ix])(feat, idx)  # (N, C, Ho*Wo)
-        wgt = (wxi * wyi * valid.astype(input.dtype)).reshape(N, 1, Ho * Wo)
+        g = jax.vmap(lambda im, ix: im[ix])(feat, idx)  # (N, Ho*Wo, C)
+        wgt = (wxi * wyi * valid.astype(input.dtype)).reshape(N, Ho * Wo, 1)
         return g * wgt
 
     out = (corner(x0, y0, wx0, wy0) + corner(x1, y0, wx1, wy0)
            + corner(x0, y1, wx0, wy1) + corner(x1, y1, wx1, wy1))
-    return out.reshape(N, C, Ho, Wo)
+    return out.reshape(N, Ho, Wo, C).transpose(0, 3, 1, 2)

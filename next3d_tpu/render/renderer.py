@@ -110,7 +110,9 @@ def sample_pdf(rng, bins, weights, N_importance, det=False, eps=1e-5):
     else:
         u = jax.random.uniform(rng, (R, N_importance), jnp.float32)
 
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side='right'))(cdf, u)
+    # searchsorted(side='right') as a dense comparison count — one (R, K, B+1)
+    # boolean reduce instead of R vmapped binary searches (TPU-friendly)
+    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1).astype(jnp.int32)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, B)
 

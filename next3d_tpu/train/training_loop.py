@@ -23,6 +23,22 @@ from ..parallel import StatsCollector, data_parallel_mesh, replicate, shard_batc
 from ..utils.checkpoint import load_snapshot, save_snapshot
 
 
+def check_replica_consistency(tree, mesh):
+    """Assert replicated params are bitwise identical across devices
+    (substitutes the reference's check_ddp_consistency broadcast-compare,
+    torch_utils/misc.py:185-196). With GSPMD replication this is structural,
+    so this is a debug assertion, not a per-snapshot necessity."""
+    import jax
+    for leaf in jax.tree.leaves(tree):
+        shards = getattr(leaf, 'addressable_shards', None)
+        if not shards or len(shards) < 2:
+            continue
+        first = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            if not np.array_equal(first, np.asarray(s.data)):
+                raise AssertionError('replica mismatch detected')
+
+
 def training_loop(
     G, D, loss_obj, step, data_iterator, run_dir,
     total_kimg=25000,
@@ -154,8 +170,15 @@ def training_loop(
         if progress_fn is not None:
             progress_fn(cur_nimg // 1000, total_kimg)
 
+        if image_snapshot_ticks is not None and \
+                (tick % image_snapshot_ticks == 0 or done) and \
+                snapshot_vis_batch is not None:
+            _save_fakes_grid(G, state, snapshot_vis_batch, run_dir,
+                             cur_nimg)
+
         if snapshot_ticks is not None and (tick % snapshot_ticks == 0 or done) \
                 and tick > 0:
+            check_replica_consistency(state.params_G, mesh)
             save_snapshot(
                 os.path.join(run_dir,
                              f'network-snapshot-{cur_nimg // 1000:06d}.pkl'),
@@ -180,3 +203,25 @@ def _restore_opt(template, saved):
     leaves_saved = jax.tree.leaves(saved)
     treedef = jax.tree.structure(template)
     return jax.tree.unflatten(treedef, leaves_saved)
+
+
+def _save_fakes_grid(G, state, vis_batch, run_dir, cur_nimg):
+    """fakes<kimg>.png grid from G_ema (reference training_loop.py:428-435)."""
+    import jax
+    import jax.numpy as jnp
+    from ..cli.common import save_image_grid
+    try:
+        ws = G.mapping(state.params_G_ema, jnp.asarray(vis_batch['gen_z']),
+                       jnp.asarray(vis_batch['gen_c']))
+        out = G.synthesis(state.params_G_ema, ws,
+                          jnp.asarray(vis_batch['gen_c']),
+                          jnp.asarray(vis_batch['gen_v']),
+                          noise_mode='const')
+        save_image_grid(np.asarray(out['image']),
+                        os.path.join(run_dir,
+                                     f'fakes{cur_nimg // 1000:06d}.png'))
+        save_image_grid(np.asarray(out['image_raw']),
+                        os.path.join(run_dir,
+                                     f'fakes{cur_nimg // 1000:06d}_raw.png'))
+    except Exception as e:  # snapshot images must never kill training
+        print(f'image snapshot failed: {e}')

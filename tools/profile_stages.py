@@ -4,9 +4,11 @@ import time, numpy as np, jax, jax.numpy as jnp
 import __graft_entry__ as ge
 from next3d_tpu.models import TriPlaneGenerator
 
+import os as _os
 G = TriPlaneGenerator(z_dim=512, c_dim=25, w_dim=512, img_resolution=512,
                       img_channels=3, topology_path=ge.DEMO_OBJ,
-                      rendering_kwargs=ge.RENDER_KW_FFHQ, sr_num_fp16_res=4)
+                      rendering_kwargs=ge.RENDER_KW_FFHQ, sr_num_fp16_res=4,
+                      force_fp32=_os.environ.get('PROF_FP32','0')=='1')
 params = G.init(jax.random.PRNGKey(0))
 B = 4
 z = np.random.RandomState(0).randn(B, 512).astype(np.float32)
