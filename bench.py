@@ -55,8 +55,10 @@ def main():
 
     iters = int(os.environ.get('NEXT3D_BENCH_ITERS', '10'))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        img = forward(params, z, c, v)
+    for i in range(iters):
+        # vary z per iteration: defeats any identical-dispatch caching in
+        # remote-TPU clients and matches real serving (new latents per call)
+        img = forward(params, z + np.float32(i) * 1e-6, c, v)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 

@@ -40,6 +40,9 @@ def choose_sr_module(resolution):
 @click.option('--cbase', 'channel_base', type=int, default=32768)
 @click.option('--cmax', 'channel_max', type=int, default=512)
 @click.option('--gen-pose-cond', type=bool, default=False)
+@click.option('--gen-exp-cond', type=bool, default=False,
+              help='expression labels via a second D mapping (reference '
+                   'training_loop.py:162-176)')
 @click.option('--gpc-reg-prob', type=float, default=0.5)
 @click.option('--density-reg', type=float, default=0.25)
 @click.option('--resume', 'resume_path', type=str, default=None)
@@ -58,6 +61,7 @@ def main(**opts):
 
 
 def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
+          gen_exp_cond=False,
           total_kimg=25000, kimg_per_tick=4, snapshot_ticks=20, glr=0.0025,
           dlr=0.002, channel_base=32768, channel_max=512,
           gen_pose_cond=False, gpc_reg_prob=0.5, density_reg=0.25,
@@ -84,9 +88,6 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         image_resolution=resolution,
     )
 
-    dataset = ImageFolderDataset(data_path, resolution=resolution)
-    dataset.prebake()
-
     G = TriPlaneGenerator(
         z_dim=512, c_dim=25, w_dim=512, img_resolution=resolution,
         img_channels=3, topology_path=topology_path,
@@ -94,8 +95,15 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         rendering_kwargs=rendering_kwargs, sr_num_fp16_res=sr_num_fp16_res,
         channel_base=channel_base, channel_max=channel_max,
         plane_resolution=plane_resolution)
-    D = DualDiscriminator(c_dim=25, img_resolution=resolution, img_channels=3,
-                          channel_base=channel_base, channel_max=channel_max)
+    if gen_exp_cond:
+        from ..nn import DualLabelDualDiscriminator
+        D = DualLabelDualDiscriminator(
+            c_dim=25, c2_dim=50, img_resolution=resolution, img_channels=3,
+            channel_base=channel_base, channel_max=channel_max)
+    else:
+        D = DualDiscriminator(c_dim=25, img_resolution=resolution,
+                              img_channels=3, channel_base=channel_base,
+                              channel_max=channel_max)
 
     loss_cfg = LossConfig(
         r1_gamma=r1_gamma,
@@ -127,6 +135,8 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         print(json.dumps(config, indent=2, default=str))
         return
 
+    dataset = ImageFolderDataset(data_path, resolution=resolution)
+    dataset.prebake()
     it = make_data_iterator(dataset, batch_size,
                             rank=jax.process_index(),
                             num_replicas=jax.process_count(), seed=seed)

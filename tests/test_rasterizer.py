@@ -204,3 +204,19 @@ def test_flame_tiled_exactness_all_views():
         # coverage (alpha) must agree even more tightly
         cov_diff = ((pf_t >= 0) != (pf_s >= 0)).sum()
         assert cov_diff <= 8, f"view {view}: coverage diff {cov_diff}px"
+
+
+def test_pallas_rasterizer_matches_scatter_interpret(rng):
+    """Pallas kernel (interpret mode on CPU) vs the scatter golden path."""
+    from next3d_tpu.ops.pallas_raster import rasterize_mesh_pallas
+    verts, faces = random_mesh(rng, B=2, V=30, F=40)
+    H = 64
+    pf_s, z_s = rasterize_mesh(jnp.asarray(verts), jnp.asarray(faces), H,
+                               patch=80, face_chunk=16)
+    pf_p, z_p = rasterize_mesh_pallas(jnp.asarray(verts), jnp.asarray(faces),
+                                      H, patch=64, interpret=True)
+    pf_s, pf_p = np.asarray(pf_s), np.asarray(pf_p)
+    np.testing.assert_array_equal(pf_p, pf_s)
+    covered = pf_s >= 0
+    np.testing.assert_allclose(np.asarray(z_p)[covered],
+                               np.asarray(z_s)[covered], rtol=1e-4, atol=1e-5)
