@@ -55,7 +55,9 @@ def grid_sample_2d(input, grid):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
         idx = idx.reshape(N, Ho * Wo)
-        g = jax.vmap(lambda im, ix: im[ix])(feat, idx)  # (N, Ho*Wo, C)
+        # take_along_axis lowers to the fast TPU gather path (~20x faster
+        # than vmap(f[ix]) row indexing; see tools/profile_gather.py)
+        g = jnp.take_along_axis(feat, idx[..., None], axis=1)  # (N, HoWo, C)
         wgt = (wxi * wyi * valid.astype(input.dtype)).reshape(N, Ho * Wo, 1)
         return g * wgt
 

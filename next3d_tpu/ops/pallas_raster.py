@@ -28,37 +28,50 @@ from jax.experimental.pallas import tpu as pltpu
 BIG_Z = 1e10
 
 
-def _raster_kernel(fx_ref, fy_ref, fz_ref, inv_area_ref, fid_out, zbuf_out,
+def _raster_kernel(face_ref, fid_out, zbuf_out,
                    *, num_faces, patch, height, width):
+    """face_ref: (1, 10, F_pad) rows = ax,bx,cx, ay,by,cy, az,bz,cz, inv_area."""
     fid_out[...] = jnp.full((1, height, width), -1, jnp.int32)
     zbuf_out[...] = jnp.full((1, height, width), BIG_Z, jnp.float32)
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (patch, patch), 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (patch, patch), 1)
+    # Mosaic constraint: dynamic slices must be 8-aligned in the sublane
+    # (row) dim and 128-aligned in the lane (col) dim — so each face updates
+    # an 8-aligned FULL-WIDTH row stripe (stripe_h x W); the inside test
+    # masks the irrelevant columns.
+    stripe_h = min(patch + 8, height)
+    assert stripe_h % 8 == 0, 'image height and patch must be 8-aligned'
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (stripe_h, width), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (stripe_h, width), 1)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (10, 128), 1)
 
     def body(f, _):
-        inv_area = inv_area_ref[0, f]
+        # dynamic lane indexing must be 128-aligned on TPU: load the face's
+        # aligned (10, 128) column chunk, then extract lane f%128 with a
+        # where-reduce (vectorized scalar extraction)
+        start = pl.multiple_of((f // 128) * 128, 128)
+        chunk = face_ref[0, :, pl.ds(start, 128)]  # (10, 128)
+        lane = f - start
+        col = jnp.sum(jnp.where(lane_iota == lane, chunk, 0.0), axis=1)  # (10,)
+        inv_area = col[9]
 
         @pl.when(inv_area > 0)
         def _():
-            ax = fx_ref[0, f, 0]
-            bx = fx_ref[0, f, 1]
-            cx = fx_ref[0, f, 2]
-            ay = fy_ref[0, f, 0]
-            by = fy_ref[0, f, 1]
-            cy = fy_ref[0, f, 2]
-            az = fz_ref[0, f, 0]
-            bz = fz_ref[0, f, 1]
-            cz = fz_ref[0, f, 2]
+            ax = col[0]
+            bx = col[1]
+            cx = col[2]
+            ay = col[3]
+            by = col[4]
+            cy = col[5]
+            az = col[6]
+            bz = col[7]
+            cz = col[8]
 
-            xmin = jnp.minimum(jnp.minimum(ax, bx), cx)
             ymin = jnp.minimum(jnp.minimum(ay, by), cy)
-            x0 = jnp.ceil(xmin).astype(jnp.int32)
             y0 = jnp.ceil(ymin).astype(jnp.int32)
-            x0 = jnp.clip(x0, 0, width - patch)
-            y0 = jnp.clip(y0, 0, height - patch)
+            y0 = jnp.clip((y0 // 8) * 8, 0, height - stripe_h)
 
-            px = (x0 + cols_i).astype(jnp.float32)
+            px = cols_i.astype(jnp.float32)
             py = (y0 + rows_i).astype(jnp.float32)
 
             w0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
@@ -70,13 +83,11 @@ def _raster_kernel(fx_ref, fy_ref, fz_ref, inv_area_ref, fid_out, zbuf_out,
             inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
             z = b0 * az + b1 * bz + b2 * cz
 
-            zp = zbuf_out[0, pl.ds(y0, patch), pl.ds(x0, patch)]
+            zp = zbuf_out[0, pl.ds(y0, stripe_h), :]
             better = inside & (z < zp)
-            zbuf_out[0, pl.ds(y0, patch), pl.ds(x0, patch)] = \
-                jnp.where(better, z, zp)
-            fp = fid_out[0, pl.ds(y0, patch), pl.ds(x0, patch)]
-            fid_out[0, pl.ds(y0, patch), pl.ds(x0, patch)] = \
-                jnp.where(better, f, fp)
+            zbuf_out[0, pl.ds(y0, stripe_h), :] = jnp.where(better, z, zp)
+            fp = fid_out[0, pl.ds(y0, stripe_h), :]
+            fid_out[0, pl.ds(y0, stripe_h), :] = jnp.where(better, f, fp)
 
         return 0
 
@@ -89,8 +100,9 @@ def rasterize_mesh_pallas(verts, faces, image_size, patch=32, interpret=False):
 
     Args/returns match render/rasterizer.rasterize_mesh: verts (B, V, 3)
     with x,y in [-1,1] and z depth; faces (F, 3) shared topology.
-    ``patch`` must cover the max face bbox span in pixels
-    (required_patch_size; FLAME @256 < 32).
+    ``patch`` must cover the max face bbox HEIGHT in pixels
+    (required_patch_size; FLAME @256 < 32); the update stripe is full-width,
+    so horizontal span is unconstrained.
     """
     verts = jax.lax.stop_gradient(verts)
     B = verts.shape[0]
@@ -108,19 +120,23 @@ def rasterize_mesh_pallas(verts, faces, image_size, patch=32, interpret=False):
             - (fy[..., 1] - fy[..., 0]) * (fx[..., 2] - fx[..., 0]))
     inv_area = jnp.where(area > 1e-8, 1.0 / area, 0.0)  # 0 => culled
 
+    # pack per-face scalars into one lane-padded array (Pallas TPU blocks
+    # need the trailing dims to match the array or be (8,128)-aligned)
+    F_pad = -(-F // 128) * 128
+    face_data = jnp.stack([fx[..., 0], fx[..., 1], fx[..., 2],
+                           fy[..., 0], fy[..., 1], fy[..., 2],
+                           fz[..., 0], fz[..., 1], fz[..., 2],
+                           inv_area], axis=1)  # (B, 10, F)
+    face_data = jnp.pad(face_data, ((0, 0), (0, 0), (0, F_pad - F)))
+
     kernel = functools.partial(_raster_kernel, num_faces=F, patch=patch,
                                height=H, width=W)
     fid, zbuf = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, F, 3), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 10, F_pad), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 3), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 3), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
@@ -133,5 +149,5 @@ def rasterize_mesh_pallas(verts, faces, image_size, patch=32, interpret=False):
             jax.ShapeDtypeStruct((B, H, W), jnp.float32),
         ),
         interpret=interpret,
-    )(fx, fy, fz, inv_area)
+    )(face_data)
     return fid, zbuf

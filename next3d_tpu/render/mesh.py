@@ -60,3 +60,21 @@ def angle2matrix(angles):
         -sy, cy * sx, cy * cx,
     ], axis=0)  # (9, B)
     return R.reshape(3, 3, -1).transpose(2, 0, 1)  # (B, 3, 3)
+
+
+def transform_points(points, tform, points_scale=None, out_scale=None):
+    """2D homogeneous point transform with optional range rescaling
+    (reference: renderer.py:484-502)."""
+    points_2d = points[:, :, :2]
+    if points_scale:
+        assert points_scale[0] == points_scale[1]
+        points_2d = (points_2d * 0.5 + 0.5) * points_scale[0]
+    B, P, _ = points.shape
+    ones = jnp.ones((B, P, 1), points.dtype)
+    trans = jnp.einsum('bpi,bij->bpj',
+                       jnp.concatenate([points_2d, ones], axis=-1), tform)
+    if out_scale:
+        tx = trans[:, :, 0] / out_scale[1] * 2 - 1
+        ty = trans[:, :, 1] / out_scale[0] * 2 - 1
+        trans = jnp.stack([tx, ty], axis=-1)
+    return jnp.concatenate([trans[:, :, :2], points[:, :, 2:]], axis=-1)

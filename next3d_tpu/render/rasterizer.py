@@ -366,7 +366,11 @@ def rasterize_with_attributes(verts, faces, attributes, image_size,
     (renderer.py:401-440) for square images. ``impl='tiled'`` (default) uses
     the dense scatter-free path; 'scatter' is the golden reference path.
     """
-    if impl == 'tiled' and image_size % 16 == 0:
+    if impl == 'pallas':
+        from ..ops.pallas_raster import rasterize_mesh_pallas
+        pix_to_face, _ = rasterize_mesh_pallas(verts, faces, image_size,
+                                               patch=patch)
+    elif impl == 'tiled' and image_size % 16 == 0:
         pix_to_face, _ = rasterize_mesh_tiled(verts, faces, image_size,
                                               capacity=tile_capacity)
 

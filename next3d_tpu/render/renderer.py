@@ -65,6 +65,42 @@ def _uniform(rng, shape):
     return jax.random.uniform(rng, shape, jnp.float32)
 
 
+def sample_from_3dgrid(grid, coordinates):
+    """Trilinear sampling from a dense voxel grid (reference renderer.py
+    :74-87). grid: (1 or N, C, D, H, W); coordinates: (N, M, 3) in [-1, 1].
+    Returns (N, M, C)."""
+    N, M, _ = coordinates.shape
+    if grid.shape[0] == 1:
+        grid = jnp.broadcast_to(grid, (N,) + grid.shape[1:])
+    C, D, H, W = grid.shape[1:]
+    # unnormalize (align_corners=False): (c+1)/2*S - 0.5 per axis (x->W, y->H, z->D)
+    cx = (coordinates[..., 0] + 1) * (W / 2) - 0.5
+    cy = (coordinates[..., 1] + 1) * (H / 2) - 0.5
+    cz = (coordinates[..., 2] + 1) * (D / 2) - 0.5
+    feat = grid.transpose(0, 2, 3, 4, 1).reshape(N, D * H * W, C)
+
+    def corner(zi, yi, xi, w):
+        valid = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+                 & (zi >= 0) & (zi < D))
+        idx = (jnp.clip(zi, 0, D - 1) * H * W + jnp.clip(yi, 0, H - 1) * W
+               + jnp.clip(xi, 0, W - 1))
+        g = jnp.take_along_axis(feat, idx[..., None], axis=1)
+        return g * (w * valid.astype(grid.dtype))[..., None]
+
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    z0 = jnp.floor(cz).astype(jnp.int32)
+    wx = cx - x0
+    wy = cy - y0
+    wz = cz - z0
+    out = 0
+    for dz, wz_ in ((0, 1 - wz), (1, wz)):
+        for dy, wy_ in ((0, 1 - wy), (1, wy)):
+            for dx, wx_ in ((0, 1 - wx), (1, wx)):
+                out = out + corner(z0 + dz, y0 + dy, x0 + dx, wz_ * wy_ * wx_)
+    return out
+
+
 def sample_stratified(rng, ray_origins, ray_start, ray_end, depth_resolution,
                       disparity_space_sampling=False):
     """Jittered uniform depths (reference :184-207). ray_start/ray_end may be
@@ -238,3 +274,61 @@ class ImportanceRenderer:
                 colors_coarse, densities_coarse, depths_coarse, opts)
 
         return rgb_final, depth_final, jnp.sum(weights, axis=2)
+
+    def normal_forward(self, rng, planes, decoder, ray_origins,
+                       ray_directions, rendering_options):
+        """Variant compositing autograd surface normals
+        (reference renderer.py:271-355): normals = -normalize(d sigma/d x),
+        computed per sample point via jax.grad through the tri-plane decode,
+        then alpha-composited alongside color. The reference chunks at
+        max_batch=100000 for memory; under jit we rely on XLA scheduling and
+        optional jax.checkpoint at the call site instead."""
+        opts = rendering_options
+        if rng is None:
+            k_strat = k_imp = None
+        else:
+            k_strat, k_imp = jax.random.split(rng)
+        depths_coarse = sample_stratified(
+            k_strat, ray_origins, opts['ray_start'], opts['ray_end'],
+            opts['depth_resolution'], opts['disparity_space_sampling'])
+        N, R, S, _ = depths_coarse.shape
+
+        def sigma_at(pts_flat):
+            feats = sample_from_planes(planes, pts_flat[None],
+                                       box_warp=opts['box_warp'])
+            decoder_params, decoder_fn = decoder
+            return decoder_fn(decoder_params, feats, None)['sigma'][0, :, 0]
+
+        def run_with_normals(coords):
+            flat = coords.reshape(-1, 3)
+            sigma_sum = lambda p: jnp.sum(sigma_at(p))
+            grads = jax.grad(sigma_sum)(flat)
+            normals = -grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True)
+                                + 1e-7)
+            feats = sample_from_planes(planes, coords, box_warp=opts['box_warp'])
+            decoder_params, decoder_fn = decoder
+            out = decoder_fn(decoder_params, feats, None)
+            return out['rgb'], out['sigma'], normals.reshape(coords.shape)
+
+        coords = (ray_origins[:, :, None] +
+                  depths_coarse * ray_directions[:, :, None]).reshape(N, -1, 3)
+        rgb = []
+        sig = []
+        nrm = []
+        for n in range(N):  # per-batch-item grad to bound memory
+            r, sg, nm = run_with_normals(coords[n:n + 1])
+            rgb.append(r)
+            sig.append(sg)
+            nrm.append(nm)
+        colors = jnp.concatenate(rgb, 0).reshape(N, R, S, -1)
+        densities = jnp.concatenate(sig, 0).reshape(N, R, S, 1)
+        normals = jnp.concatenate(nrm, 0).reshape(N, R, S, 3)
+
+        rgb_final, depth_final, weights = mip_ray_marcher2(
+            colors, densities, depths_coarse, opts)
+        normals_mid = (normals[:, :, :-1] + normals[:, :, 1:]) / 2
+        wsum = jnp.sum(weights, axis=2)
+        composite_normal = jnp.sum(weights * normals_mid, axis=-2) / wsum
+        composite_normal = composite_normal / (
+            jnp.linalg.norm(composite_normal, axis=-1, keepdims=True) + 1e-7)
+        return rgb_final, depth_final, composite_normal, wsum

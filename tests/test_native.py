@@ -46,8 +46,19 @@ def test_native_is_faster(lib, tmp_path):
     with open(p, "w") as f:
         for v in verts:
             f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+
+    def pure_python(path):
+        out = []
+        with open(path) as f:
+            for line in f:
+                if line.startswith('v '):
+                    parts = line.split()
+                    out.append((float(parts[1]), float(parts[2]),
+                                float(parts[3])))
+        return np.asarray(out, np.float32)
+
     t0 = time.perf_counter()
-    a = load_obj_verts(p)
+    a = pure_python(p)
     t_py = time.perf_counter() - t0
     t0 = time.perf_counter()
     b = parse_vertices(p, max_verts=60000)
