@@ -34,9 +34,12 @@ def main():
     use_bf16 = os.environ.get('NEXT3D_BENCH_BF16', '1') == '1'
 
     from next3d_tpu.models import TriPlaneGenerator
+    rk = dict(ge.RENDER_KW_FFHQ)
+    if os.environ.get('NEXT3D_BENCH_FUSED', '1') == '1':
+        rk['fused_plane_sampling'] = True
     G = TriPlaneGenerator(
         z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,
-        topology_path=ge.DEMO_OBJ, rendering_kwargs=ge.RENDER_KW_FFHQ,
+        topology_path=ge.DEMO_OBJ, rendering_kwargs=rk,
         sr_num_fp16_res=4, force_fp32=not use_bf16)
     params = G.init(jax.random.PRNGKey(0))
 

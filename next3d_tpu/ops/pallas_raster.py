@@ -69,7 +69,10 @@ def _raster_kernel(face_ref, fid_out, zbuf_out,
 
             ymin = jnp.minimum(jnp.minimum(ay, by), cy)
             y0 = jnp.ceil(ymin).astype(jnp.int32)
-            y0 = jnp.clip((y0 // 8) * 8, 0, height - stripe_h)
+            # 8-aligned start; height - stripe_h is 8-aligned so clip
+            # preserves the multiple (hinted for Mosaic)
+            y0 = pl.multiple_of(
+                jnp.clip((y0 // 8) * 8, 0, height - stripe_h), 8)
 
             px = cols_i.astype(jnp.float32)
             py = (y0 + rows_i).astype(jnp.float32)

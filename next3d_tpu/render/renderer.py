@@ -202,8 +202,15 @@ class ImportanceRenderer:
 
     def run_model(self, planes, decoder, sample_coordinates, sample_directions,
                   options, rng=None):
-        sampled_features = sample_from_planes(planes, sample_coordinates,
-                                              box_warp=options['box_warp'])
+        if options.get('fused_plane_sampling', False):
+            from ..ops.pallas_triplane import sample_from_planes_fused
+            sampled_features = sample_from_planes_fused(
+                planes, sample_coordinates, box_warp=options['box_warp'],
+                tile_samples=options.get('fused_tile_samples', 512),
+                slab_h=options.get('fused_slab_h', 64))
+        else:
+            sampled_features = sample_from_planes(planes, sample_coordinates,
+                                                  box_warp=options['box_warp'])
         decoder_params, decoder_fn = decoder
         out = decoder_fn(decoder_params, sampled_features, sample_directions)
         if options.get('density_noise', 0) > 0:
