@@ -17,6 +17,7 @@ from .superresolution import (
     SuperresolutionHybrid4X,
     SuperresolutionHybrid8X,
     SuperresolutionHybrid8XDC,
+    SuperresolutionHybridDeepfp32,
 )
 from .discriminator import (
     DiscriminatorBlock,

@@ -139,3 +139,12 @@ class SuperresolutionHybrid2X(_SRBase):
                                      use_fp16=use_fp16,
                                      conv_clamp=(256 if use_fp16 else None),
                                      **block_kwargs)
+
+
+# legacy 256-res variant kept for checkpoint compat (reference
+# superresolution.py:126-153): same structure as 4X without antialias
+class SuperresolutionHybridDeepfp32(SuperresolutionHybrid4X):
+    def __init__(self, channels, img_resolution, sr_num_fp16_res,
+                 sr_antialias=False, **kwargs):
+        super().__init__(channels, img_resolution, sr_num_fp16_res,
+                         sr_antialias=False, **kwargs)

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
-                   tiles_per_plane, slab_h, samples, height, width, channels):
+                   tiles_per_plane, slab_h, samples, height, width, channels,
+                   precision):
     """rows/cols: (1, 1, S) f32 pixel coords; planes: (P, H, W*C) in ANY
     (HBM); out: (1, S, C)."""
     p = pl.program_id(0) // tiles_per_plane
@@ -44,32 +45,12 @@ def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
         c = cols_ref[0, 0, :]
         rmin = jnp.min(r)
         r0 = jnp.floor(rmin).astype(jnp.int32)
-        r0 = jnp.clip((r0 // 8) * 8, 0, height - slab_h)
+        # height - slab_h must stay 8-aligned for the hint to hold
+        r0 = pl.multiple_of(jnp.clip((r0 // 8) * 8, 0, height - slab_h), 8)
 
         dma = pltpu.make_async_copy(
             planes_ref.at[p, pl.ds(r0, slab_h), :], slab, sem)
         dma.start()
-
-        rf = r - r0.astype(jnp.float32)
-        rl = jnp.floor(rf)
-        cl = jnp.floor(c)
-        wr = rf - rl
-        wc = c - cl
-        rl = rl.astype(jnp.int32)
-        cl = cl.astype(jnp.int32)
-
-        # row one-hots (strict equality: out-of-slab taps vanish)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (samples, slab_h), 1)
-        orow = ((sub == rl[:, None]).astype(jnp.float32) * (1 - wr)[:, None]
-                + (sub == (rl + 1)[:, None]).astype(jnp.float32)
-                * wr[:, None])
-
-        # col weights in the flat (w*C + ch) layout: weight depends only on
-        # the lane's w = lane // C
-        w_of = jax.lax.broadcasted_iota(jnp.int32, (samples, WC), 1) // channels
-        ocr = ((w_of == cl[:, None]).astype(jnp.float32) * (1 - wc)[:, None]
-               + (w_of == (cl + 1)[:, None]).astype(jnp.float32)
-               * wc[:, None])
 
         # channel selector: sel[w*C + ch, ch] = 1
         ch_of = jax.lax.broadcasted_iota(jnp.int32, (WC, channels), 0) % channels
@@ -77,9 +58,59 @@ def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
         sel = (ch_of == ch_id).astype(jnp.float32)
 
         dma.wait()
-        tmp = jnp.dot(orow, slab[...], preferred_element_type=jnp.float32)
-        out_ref[0, :, :] = jnp.dot(tmp * ocr, sel,
-                                   preferred_element_type=jnp.float32)
+        # process samples in 128-row chunks (128-lane-aligned ref slices)
+        # via fori_loop; inside each chunk the W*C axis is processed in two
+        # halves with an accumulator so the (chunk, W*C/2) intermediates fit
+        # the 16 MB VMEM budget alongside HIGHEST-precision matmul buffers
+        chunk = 128
+        half = WC // 2
+        wph = width // 2  # plane columns per half
+        sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, slab_h), 1)
+        w_of_h = jax.lax.broadcasted_iota(jnp.int32, (chunk, half), 1) \
+            // channels
+        # selector for one half: sel_h[w*C + ch, ch] = 1
+        ch_of = jax.lax.broadcasted_iota(jnp.int32, (half, channels), 0) \
+            % channels
+        ch_id = jax.lax.broadcasted_iota(jnp.int32, (half, channels), 1)
+        sel_h = (ch_of == ch_id).astype(jnp.float32)
+
+        def chunk_body(k, _):
+            off = pl.multiple_of(k * chunk, chunk)
+            # slice coords from the REFS (value dynamic_slice is not
+            # supported by the Mosaic lowering)
+            r_k = rows_ref[0, 0, pl.ds(off, chunk)] - r0.astype(jnp.float32)
+            c_k = cols_ref[0, 0, pl.ds(off, chunk)]
+            rl_f = jnp.floor(r_k)
+            cl_f = jnp.floor(c_k)
+            wr_k = r_k - rl_f
+            wc_k = c_k - cl_f
+            rl_k = rl_f.astype(jnp.int32)
+            cl_k = cl_f.astype(jnp.int32)
+            # row one-hots (strict equality: out-of-slab taps vanish)
+            orow = ((sub == rl_k[:, None]).astype(jnp.float32)
+                    * (1 - wr_k)[:, None]
+                    + (sub == (rl_k + 1)[:, None]).astype(jnp.float32)
+                    * wr_k[:, None])
+
+            def half_body(h, acc):
+                hoff = pl.multiple_of(h * half, half)
+                tmp = jnp.dot(orow, slab[:, pl.ds(hoff, half)],
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+                cl_rel = cl_k - h * wph  # col index within this half
+                ocr = ((w_of_h == cl_rel[:, None]).astype(jnp.float32)
+                       * (1 - wc_k)[:, None]
+                       + (w_of_h == (cl_rel + 1)[:, None]).astype(jnp.float32)
+                       * wc_k[:, None])
+                return acc + jnp.dot(tmp * ocr, sel_h,
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)
+
+            out_ref[0, pl.ds(off, chunk), :] = jax.lax.fori_loop(
+                0, 2, half_body, jnp.zeros((chunk, channels), jnp.float32))
+            return 0
+
+        jax.lax.fori_loop(0, samples // chunk, chunk_body, 0)
 
     pl.run_scoped(
         body,
@@ -88,9 +119,9 @@ def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
-                          slab_h=64, interpret=False):
+                          slab_h=64, interpret=False, precision='high'):
     """Fused bilinear sampling from plane slabs.
 
     Args:
@@ -111,9 +142,13 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
     r_t = rows.reshape(P * T, 1, tile_samples)
     c_t = cols.reshape(P * T, 1, tile_samples)
 
+    prec = {'bf16': jax.lax.Precision.DEFAULT,
+            'high': jax.lax.Precision.HIGH,
+            'highest': jax.lax.Precision.HIGHEST}[precision]
     kernel = functools.partial(_sample_kernel, tiles_per_plane=T,
                                slab_h=slab_h, samples=tile_samples,
-                               height=H, width=W, channels=C)
+                               height=H, width=W, channels=C,
+                               precision=prec)
     out = pl.pallas_call(
         kernel,
         grid=(P * T,),
@@ -133,7 +168,8 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
 
 
 def sample_from_planes_fused(plane_features, coordinates, box_warp,
-                             tile_samples=512, slab_h=64, interpret=False):
+                             tile_samples=512, slab_h=64, interpret=False,
+                             precision='high'):
     """Drop-in fast path for render.renderer.sample_from_planes.
 
     plane_features: (N, 3, C, H, W); coordinates: (N, M, 3) -> (N, 3, M, C).
@@ -171,5 +207,5 @@ def sample_from_planes_fused(plane_features, coordinates, box_warp,
         cols = jnp.pad(cols, ((0, 0), (0, pad)), constant_values=-10.0)
     out = triplane_sample_tiles(planes_flat, rows, cols, C,
                                 tile_samples=tile_samples, slab_h=slab_h,
-                                interpret=interpret)
+                                interpret=interpret, precision=precision)
     return out[:, :M].reshape(N, n_planes, M, C)
