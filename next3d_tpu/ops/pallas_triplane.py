@@ -121,7 +121,7 @@ def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
-                          slab_h=64, interpret=False, precision='high'):
+                          slab_h=64, interpret=False, precision='bf16'):
     """Fused bilinear sampling from plane slabs.
 
     Args:
@@ -142,8 +142,9 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
     r_t = rows.reshape(P * T, 1, tile_samples)
     c_t = cols.reshape(P * T, 1, tile_samples)
 
+    # NOTE: the Mosaic lowering supports only DEFAULT (bf16 passes) and
+    # HIGHEST (full fp32) dot precisions
     prec = {'bf16': jax.lax.Precision.DEFAULT,
-            'high': jax.lax.Precision.HIGH,
             'highest': jax.lax.Precision.HIGHEST}[precision]
     kernel = functools.partial(_sample_kernel, tiles_per_plane=T,
                                slab_h=slab_h, samples=tile_samples,
@@ -169,7 +170,7 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
 
 def sample_from_planes_fused(plane_features, coordinates, box_warp,
                              tile_samples=512, slab_h=64, interpret=False,
-                             precision='high'):
+                             precision='bf16'):
     """Drop-in fast path for render.renderer.sample_from_planes.
 
     plane_features: (N, 3, C, H, W); coordinates: (N, M, 3) -> (N, 3, M, C).

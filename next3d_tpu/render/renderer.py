@@ -208,7 +208,7 @@ class ImportanceRenderer:
                 planes, sample_coordinates, box_warp=options['box_warp'],
                 tile_samples=options.get('fused_tile_samples', 512),
                 slab_h=options.get('fused_slab_h', 64),
-                precision=options.get('fused_precision', 'high'))
+                precision=options.get('fused_precision', 'bf16'))
         else:
             sampled_features = sample_from_planes(planes, sample_coordinates,
                                                   box_warp=options['box_warp'])
