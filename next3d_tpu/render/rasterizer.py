@@ -157,7 +157,7 @@ def rasterize_mesh(verts, faces, image_size, patch=32, face_chunk=2048,
 
 
 def rasterize_mesh_tiled(verts, faces, image_size, tile=8, capacity=448,
-                         tile_chunk=32, eps=1e-8):
+                         tile_chunk=32, eps=1e-8, coarse_k=None):
     """Dense tile-binned rasterizer — the TPU-native hot path.
 
     Same semantics as ``rasterize_mesh`` but with NO scatters: the image is
@@ -216,25 +216,68 @@ def rasterize_mesh_tiled(verts, faces, image_size, tile=8, capacity=448,
     ox_pix = ox_pix.reshape(-1)
     oy_pix = oy_pix.reshape(-1)
 
+    # ---- optional coarse pre-selection (coarse_k != None): nearest
+    # coarse_k faces per 4x-tile so the per-fine-tile top_k sorts fewer
+    # candidates. NOTE: measured SLOWER than single-level on v5e (the
+    # per-chunk candidate-data gathers dominate) — kept for future tuning
+    # with hoisted coarse gathers; default is single-level.
+    two_level = coarse_k is not None
+    coarse = tile * 4
+    coarse_k = min(coarse_k, F) if two_level else F
+    Tx1 = Tx // 4
+    T1 = Tx1 * (Ty // 4)
+    if two_level:
+        c1_y = (jnp.arange(T1, dtype=jnp.float32) // Tx1) * coarse
+        c1_x = (jnp.arange(T1, dtype=jnp.float32) % Tx1) * coarse
+        ox1 = (xmin[:, None, :] <= c1_x[None, :, None] + (coarse - 1)) & \
+              (xmax[:, None, :] >= c1_x[None, :, None])
+        oy1 = (ymin[:, None, :] <= c1_y[None, :, None] + (coarse - 1)) & \
+              (ymax[:, None, :] >= c1_y[None, :, None])
+        overlap1 = ox1 & oy1 & keep[:, None, :]
+        score1 = jnp.where(overlap1, -zmin[:, None, :], -jnp.inf)
+        _, cand = jax.lax.top_k(score1, coarse_k)  # (B, T1, k1)
+    else:
+        cand = None
+
+    # per fine tile: its parent's candidate list
+    t_idx = jnp.arange(T)
+    parent = (t_idx // Tx // 4) * Tx1 + (t_idx % Tx) // 4  # (T,)
+
     n_chunks = -(-T // tile_chunk)
     pad_t = n_chunks * tile_chunk - T
     tx_c = (jnp.pad(tile_x, (0, pad_t)) if pad_t else tile_x).reshape(
         n_chunks, tile_chunk)
     ty_c = (jnp.pad(tile_y, (0, pad_t)) if pad_t else tile_y).reshape(
         n_chunks, tile_chunk)
+    par_c = (jnp.pad(parent, (0, pad_t)) if pad_t else parent).reshape(
+        n_chunks, tile_chunk)
 
     def chunk_fn(_, args):
-        cx, cy = args  # (Tc,) first pixel col/row of each tile
-        # overlap mask for this chunk: (B, Tc, F)
-        ox = (xmin[:, None, :] <= cx[None, :, None] + (tile - 1)) & \
-             (xmax[:, None, :] >= cx[None, :, None])
-        oy = (ymin[:, None, :] <= cy[None, :, None] + (tile - 1)) & \
-             (ymax[:, None, :] >= cy[None, :, None])
-        overlap = ox & oy & keep[:, None, :]
-        # nearest-K binning: prefer small z_min, ties -> lower face index
-        score = jnp.where(overlap, -zmin[:, None, :], -jnp.inf)
-        _, f_id = jax.lax.top_k(score, capacity)            # (B, Tc, K)
-        f_valid = jnp.take_along_axis(overlap, f_id, axis=2)
+        cx, cy, par = args  # (Tc,) first pixel col/row + parent coarse tile
+        if two_level:
+            cnd = cand[:, par]  # (B, Tc, k1) candidate face ids
+            cxmin = jnp.take_along_axis(xmin[:, None], cnd, axis=2)
+            cxmax = jnp.take_along_axis(xmax[:, None], cnd, axis=2)
+            cymin = jnp.take_along_axis(ymin[:, None], cnd, axis=2)
+            cymax = jnp.take_along_axis(ymax[:, None], cnd, axis=2)
+            ckeep = jnp.take_along_axis(keep[:, None], cnd, axis=2)
+            czmin = jnp.take_along_axis(zmin[:, None], cnd, axis=2)
+        else:
+            cnd = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, None],
+                                   (B, cx.shape[0], F))
+            cxmin, cxmax = xmin[:, None], xmax[:, None]
+            cymin, cymax = ymin[:, None], ymax[:, None]
+            ckeep, czmin = keep[:, None], zmin[:, None]
+        ox = (cxmin <= cx[None, :, None] + (tile - 1)) & \
+             (cxmax >= cx[None, :, None])
+        oy = (cymin <= cy[None, :, None] + (tile - 1)) & \
+             (cymax >= cy[None, :, None])
+        overlap = ox & oy & ckeep
+        # nearest-K binning: prefer small z_min, ties -> lower candidate rank
+        score = jnp.where(overlap, -czmin, -jnp.inf)
+        _, k_id = jax.lax.top_k(score, capacity)            # (B, Tc, K)
+        f_id = jnp.take_along_axis(cnd, k_id, axis=2)
+        f_valid = jnp.take_along_axis(overlap, k_id, axis=2)
 
         gfx = jnp.take_along_axis(fx[:, None], f_id[..., None], axis=2)
         gfy = jnp.take_along_axis(fy[:, None], f_id[..., None], axis=2)
@@ -266,7 +309,8 @@ def rasterize_mesh_tiled(verts, faces, image_size, tile=8, capacity=448,
         pf = jnp.where(zbest < _BIG_Z, fbest, -1)
         return None, (pf, zbest)
 
-    _, (pf_chunks, z_chunks) = jax.lax.scan(chunk_fn, None, (tx_c, ty_c))
+    _, (pf_chunks, z_chunks) = jax.lax.scan(chunk_fn, None,
+                                            (tx_c, ty_c, par_c))
     pf = pf_chunks.transpose(1, 0, 2, 3).reshape(B, n_chunks * tile_chunk, -1)
     zb = z_chunks.transpose(1, 0, 2, 3).reshape(B, n_chunks * tile_chunk, -1)
     pf = pf[:, :T].reshape(B, Ty, Tx, tile, tile)
