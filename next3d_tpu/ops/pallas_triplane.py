@@ -13,9 +13,27 @@ and the bilinear interpolation becomes MXU matmuls:
 
 One-hot taps use STRICT equality, so out-of-image taps contribute 0 —
 exactly grid_sample's zeros padding. The only approximation is slab-height
-overflow (a tile whose row-span exceeds slab_h - 9 loses taps); the XLA path
-stays the default-correct reference and tests validate agreement on the
-renderer's access patterns.
+overflow (a tile whose CONTRIBUTING row-span exceeds ~slab_h - 16 loses
+taps); the XLA path stays the default-correct reference and tests validate
+agreement on the renderer's access patterns.
+
+Exact-pose domain: a full depth sweep is contiguous in the sample order, so
+every tile contains whole sweeps and the binding span is the per-ray one.
+For plane 1 (rows = x) under the FFHQ camera rig (radius 2.7, depth range
+1.05, box_warp 1, W 256) the depth sweep moves x by sin(yaw)*1.05*256 px —
+~152 px at yaw 0.6, up to 269 px at a full 90-deg profile — plus ~23 px of
+intra-tile ray spread at 128 rays/row with 1024-sample tiles. The slab
+therefore bounds an exact-POSE cone: slab 128 covers |yaw| <= ~0.33 rad
+(sin(yaw)*269 + 23 + 16 <= 128) — the frontal/near-frontal regime of
+bench, gen_samples and gen_videos orbits; FFHQ training poses out to ~53
+deg need slab ~248, which does NOT fit VMEM today next to the
+(chunk x W*C/2) matmul intermediates (measured ResourceExhausted at slab
+224/248; splitting the W*C axis 4-way instead of 2-way would make room —
+round-2 item). Past the cone, overflow taps drop to zero (bounded error,
+never garbage); use the default XLA path for wide-pose training. Exactness
+evidence: hardware 'highest' exact (7e-7) at (512, 64) frontal; CPU
+interpret per-pose breakdown exact at slab 128 for frontal items at a
+4x-harsher intra-tile spread than the real 128 rays/row.
 
 Layout: planes are flattened to (P, H_compact, W*C); the compact axis is
 sliced with an 8-aligned dynamic offset.
@@ -43,7 +61,12 @@ def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
     def body(slab, sem):
         r = rows_ref[0, 0, :]
         c = cols_ref[0, 0, :]
-        rmin = jnp.min(r)
+        # anchor the slab at the first CONTRIBUTING row: rows outside
+        # (-1, H) produce zero taps anyway, and letting them drag the anchor
+        # down wastes slab coverage on rows no sample reads (real camera
+        # tiles mix in-box and out-of-box depth samples)
+        contrib = (r > -1.0) & (r < jnp.float32(height))
+        rmin = jnp.min(jnp.where(contrib, r, jnp.float32(height)))
         r0 = jnp.floor(rmin).astype(jnp.int32)
         # height - slab_h must stay 8-aligned for the hint to hold
         r0 = pl.multiple_of(jnp.clip((r0 // 8) * 8, 0, height - slab_h), 8)

@@ -51,6 +51,20 @@ def test_fused_zeros_padding_exact(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_fused_large_tiles_match_xla(rng):
+    """tile_samples=1024 (the TPU-fast configuration) must stay exact: a
+    bigger tile spans more plane rows, so this guards the slab-coverage
+    margin on renderer-like access patterns."""
+    planes = jnp.asarray(rng.randn(1, 3, 8, 64, 64).astype(np.float32))
+    coords = _camera_coords(n=1, rays=1024, steps=32)  # M = 32768
+    coords = coords * 0.42
+    want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
+    got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
+                                              tile_samples=1024, slab_h=32,
+                                              interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_fused_matches_xla_on_grid_coords(rng):
     """Shape-extraction ordering: z varies fastest over a regular grid, so a
     512-sample tile covers few y values — compact rows for every plane."""
