@@ -52,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
                    tiles_per_plane, slab_h, samples, height, width, channels,
-                   precision):
+                   precision, splits):
     """rows/cols: (1, 1, S) f32 pixel coords; planes: (P, H, W*C) in ANY
     (HBM); out: (1, S, C)."""
     p = pl.program_id(0) // tiles_per_plane
@@ -75,27 +75,23 @@ def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
             planes_ref.at[p, pl.ds(r0, slab_h), :], slab, sem)
         dma.start()
 
-        # channel selector: sel[w*C + ch, ch] = 1
-        ch_of = jax.lax.broadcasted_iota(jnp.int32, (WC, channels), 0) % channels
-        ch_id = jax.lax.broadcasted_iota(jnp.int32, (WC, channels), 1)
-        sel = (ch_of == ch_id).astype(jnp.float32)
-
         dma.wait()
         # process samples in 128-row chunks (128-lane-aligned ref slices)
-        # via fori_loop; inside each chunk the W*C axis is processed in two
-        # halves with an accumulator so the (chunk, W*C/2) intermediates fit
-        # the 16 MB VMEM budget alongside HIGHEST-precision matmul buffers
+        # via fori_loop; inside each chunk the W*C axis is processed in
+        # `splits` segments with an accumulator so the (chunk, W*C/splits)
+        # intermediates fit the 16 MB VMEM budget alongside the matmul
+        # buffers — splits=4 frees enough room for wide-pose slabs
         chunk = 128
-        half = WC // 2
-        wph = width // 2  # plane columns per half
+        seg = WC // splits
+        wps = width // splits  # plane columns per segment
         sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, slab_h), 1)
-        w_of_h = jax.lax.broadcasted_iota(jnp.int32, (chunk, half), 1) \
+        w_of_s = jax.lax.broadcasted_iota(jnp.int32, (chunk, seg), 1) \
             // channels
-        # selector for one half: sel_h[w*C + ch, ch] = 1
-        ch_of = jax.lax.broadcasted_iota(jnp.int32, (half, channels), 0) \
+        # selector for one segment: sel_s[w*C + ch, ch] = 1
+        ch_of = jax.lax.broadcasted_iota(jnp.int32, (seg, channels), 0) \
             % channels
-        ch_id = jax.lax.broadcasted_iota(jnp.int32, (half, channels), 1)
-        sel_h = (ch_of == ch_id).astype(jnp.float32)
+        ch_id = jax.lax.broadcasted_iota(jnp.int32, (seg, channels), 1)
+        sel_s = (ch_of == ch_id).astype(jnp.float32)
 
         def chunk_body(k, _):
             off = pl.multiple_of(k * chunk, chunk)
@@ -115,22 +111,25 @@ def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
                     + (sub == (rl_k + 1)[:, None]).astype(jnp.float32)
                     * wr_k[:, None])
 
-            def half_body(h, acc):
-                hoff = pl.multiple_of(h * half, half)
-                tmp = jnp.dot(orow, slab[:, pl.ds(hoff, half)],
+            def seg_body(s, acc):
+                soff = pl.multiple_of(s * seg, seg)
+                tmp = jnp.dot(orow, slab[:, pl.ds(soff, seg)],
                               preferred_element_type=jnp.float32,
                               precision=precision)
-                cl_rel = cl_k - h * wph  # col index within this half
-                ocr = ((w_of_h == cl_rel[:, None]).astype(jnp.float32)
+                cl_rel = cl_k - s * wps  # col index within this segment
+                # a tap pair straddling a segment boundary resolves across
+                # iterations: the low tap matches in segment s, the high tap
+                # (cl_rel + 1 == wps) only in segment s + 1 where it is col 0
+                ocr = ((w_of_s == cl_rel[:, None]).astype(jnp.float32)
                        * (1 - wc_k)[:, None]
-                       + (w_of_h == (cl_rel + 1)[:, None]).astype(jnp.float32)
+                       + (w_of_s == (cl_rel + 1)[:, None]).astype(jnp.float32)
                        * wc_k[:, None])
-                return acc + jnp.dot(tmp * ocr, sel_h,
+                return acc + jnp.dot(tmp * ocr, sel_s,
                                      preferred_element_type=jnp.float32,
                                      precision=precision)
 
             out_ref[0, pl.ds(off, chunk), :] = jax.lax.fori_loop(
-                0, 2, half_body, jnp.zeros((chunk, channels), jnp.float32))
+                0, splits, seg_body, jnp.zeros((chunk, channels), jnp.float32))
             return 0
 
         jax.lax.fori_loop(0, samples // chunk, chunk_body, 0)
@@ -142,9 +141,10 @@ def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
-                          slab_h=64, interpret=False, precision='bf16'):
+                          slab_h=64, interpret=False, precision='bf16',
+                          splits=None):
     """Fused bilinear sampling from plane slabs.
 
     Args:
@@ -169,10 +169,15 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
     # HIGHEST (full fp32) dot precisions
     prec = {'bf16': jax.lax.Precision.DEFAULT,
             'highest': jax.lax.Precision.HIGHEST}[precision]
+    if splits is None:
+        # wide slabs need the (chunk, W*C/splits) intermediates shrunk to
+        # stay inside VMEM; segments must keep 128-lane alignment
+        splits = 4 if slab_h > 128 else 2
+    assert W % splits == 0 and (W // splits * C) % 128 == 0
     kernel = functools.partial(_sample_kernel, tiles_per_plane=T,
                                slab_h=slab_h, samples=tile_samples,
                                height=H, width=W, channels=C,
-                               precision=prec)
+                               precision=prec, splits=splits)
     out = pl.pallas_call(
         kernel,
         grid=(P * T,),
@@ -193,7 +198,7 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
 
 def sample_from_planes_fused(plane_features, coordinates, box_warp,
                              tile_samples=512, slab_h=64, interpret=False,
-                             precision='bf16'):
+                             precision='bf16', splits=None):
     """Drop-in fast path for render.renderer.sample_from_planes.
 
     plane_features: (N, 3, C, H, W); coordinates: (N, M, 3) -> (N, 3, M, C).
@@ -231,5 +236,6 @@ def sample_from_planes_fused(plane_features, coordinates, box_warp,
         cols = jnp.pad(cols, ((0, 0), (0, pad)), constant_values=-10.0)
     out = triplane_sample_tiles(planes_flat, rows, cols, C,
                                 tile_samples=tile_samples, slab_h=slab_h,
-                                interpret=interpret, precision=precision)
+                                interpret=interpret, precision=precision,
+                                splits=splits)
     return out[:, :M].reshape(N, n_planes, M, C)
