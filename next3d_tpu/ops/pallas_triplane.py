@@ -26,10 +26,12 @@ intra-tile ray spread at 128 rays/row with 1024-sample tiles. The slab
 therefore bounds an exact-POSE cone: slab 128 covers |yaw| <= ~0.33 rad
 (sin(yaw)*269 + 23 + 16 <= 128) — the frontal/near-frontal regime of
 bench, gen_samples and gen_videos orbits; FFHQ training poses out to ~53
-deg need slab ~248, which does NOT fit VMEM today next to the
-(chunk x W*C/2) matmul intermediates (measured ResourceExhausted at slab
-224/248; splitting the W*C axis 4-way instead of 2-way would make room —
-round-2 item). Past the cone, overflow taps drop to zero (bounded error,
+deg need slab ~248, which does NOT fit VMEM today: slabs of 184-248 rows
+ResourceExhaust even with the W*C intermediates split 8-way, while 128
+fits easily — consistent with the Mosaic dot padding its K dimension
+(slab_h) to a 128-multiple via a padded slab copy, making {64, 128} the
+viable fp32 slab heights. Round-2 item: store the slab in bf16 for the
+bf16 path (halves slab VMEM and DMA, making a 256-row slab ~4.2MB). Past the cone, overflow taps drop to zero (bounded error,
 never garbage); use the default XLA path for wide-pose training. Exactness
 evidence: hardware 'highest' exact (7e-7) at (512, 64) frontal; CPU
 interpret per-pose breakdown exact at slab 128 for frontal items at a
