@@ -12,30 +12,30 @@ and the bilinear interpolation becomes MXU matmuls:
     cols:  (tmp * repeat(onehot_c, C)) @ selector (W*C, C) -> (S, C)   [MXU]
 
 One-hot taps use STRICT equality, so out-of-image taps contribute 0 —
-exactly grid_sample's zeros padding. The only approximation is slab-height
-overflow (a tile whose CONTRIBUTING row-span exceeds ~slab_h - 16 loses
-taps); the XLA path stays the default-correct reference and tests validate
-agreement on the renderer's access patterns.
+exactly grid_sample's zeros padding.
 
-Exact-pose domain: a full depth sweep is contiguous in the sample order, so
-every tile contains whole sweeps and the binding span is the per-ray one.
-For plane 1 (rows = x) under the FFHQ camera rig (radius 2.7, depth range
-1.05, box_warp 1, W 256) the depth sweep moves x by sin(yaw)*1.05*256 px —
-~152 px at yaw 0.6, up to 269 px at a full 90-deg profile — plus ~23 px of
-intra-tile ray spread at 128 rays/row with 1024-sample tiles. The slab
-therefore bounds an exact-POSE cone: slab 128 covers |yaw| <= ~0.33 rad
-(sin(yaw)*269 + 23 + 16 <= 128) — the frontal/near-frontal regime of
-bench, gen_samples and gen_videos orbits; FFHQ training poses out to ~53
-deg need slab ~248, which does NOT fit VMEM today: slabs of 184-248 rows
-ResourceExhaust even with the W*C intermediates split 8-way, while 128
-fits easily — consistent with the Mosaic dot padding its K dimension
-(slab_h) to a 128-multiple via a padded slab copy, making {64, 128} the
-viable fp32 slab heights. Round-2 item: store the slab in bf16 for the
-bf16 path (halves slab VMEM and DMA, making a 256-row slab ~4.2MB). Past the cone, overflow taps drop to zero (bounded error,
-never garbage); use the default XLA path for wide-pose training. Exactness
-evidence: hardware 'highest' exact (7e-7) at (512, 64) frontal; CPU
-interpret per-pose breakdown exact at slab 128 for frontal items at a
-4x-harsher intra-tile spread than the real 128 rays/row.
+Two residency modes:
+- RESIDENT (slab_h=None): the whole plane lives in persistent VMEM
+  scratch and is DMA'd once per plane (scratch survives the sequential
+  TPU grid). No access-pattern constraint at all — exact for every camera
+  pose — and HBM reads one plane per plane per call. Exact in interpret
+  tests, but a 256^2 x 32ch f32 plane (8.4 MB) still ResourceExhausts on
+  v5e next to the matmul intermediates (and bf16 casts made VMEM pressure
+  WORSE — Mosaic keeps f32 originals live beside the bf16 copies), so
+  hardware enablement needs the intermediates shrunk (splits=8/16 and a
+  64-row sample chunk) — round-2 item.
+- SLICED (integer slab_h): per tile, DMA only the slab_h rows the tile
+  touches; for planes too large to reside (>= 512^2 x 32ch). A tile whose
+  CONTRIBUTING row-span exceeds ~slab_h - 16 loses taps (they drop to
+  zero — bounded error, never garbage). The span is pose-dependent: a
+  full depth sweep moves plane-1 rows by sin(yaw)*1.05*(2/box_warp)*(W/2)
+  px at the FFHQ rig, so slab 128 covers |yaw| <= ~0.33 rad. Mosaic pads
+  the dot K-dim (slab_h) to 128-multiples via a padded slab copy, so
+  {64, 128} are the practical fp32 slab heights (184+ ResourceExhausts).
+
+The XLA path stays the default-correct reference; interpret-mode tests
+validate both modes on the renderer's access patterns, including a hard
+side pose against the no-constraint claim of resident mode.
 
 Layout: planes are flattened to (P, H_compact, W*C); the compact axis is
 sliced with an 8-aligned dynamic offset.
@@ -52,17 +52,87 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interp_chunks(rows_ref, cols_ref, out_ref, slab, r0, *, slab_rows,
+                   samples, width, channels, precision, splits):
+    """Bilinear one-hot matmul interpolation of a sample tile from `slab`.
+
+    slab is a VMEM ref of (slab_rows, W*C); r0 is the plane row the slab's
+    first row corresponds to. Data stays float32: casting operands (or the
+    slab) to bfloat16 was measured to INCREASE VMEM pressure on v5e — the
+    Mosaic lowering keeps the f32 originals live next to the bf16 copies,
+    and a config that fits in plain f32 ResourceExhausts with casts. The
+    `precision` argument alone picks bf16 (DEFAULT) vs full-f32 (HIGHEST)
+    MXU passes.
+    """
+    WC = width * channels
+    # process samples in 128-row chunks (128-lane-aligned ref slices) via
+    # fori_loop; inside each chunk the W*C axis is processed in `splits`
+    # segments with an accumulator so the (chunk, W*C/splits) intermediates
+    # fit the VMEM budget alongside the slab and matmul buffers
+    chunk = 128
+    seg = WC // splits
+    wps = width // splits  # plane columns per segment
+    sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, slab_rows), 1)
+    w_of_s = jax.lax.broadcasted_iota(jnp.int32, (chunk, seg), 1) \
+        // channels
+    # selector for one segment: sel_s[w*C + ch, ch] = 1
+    ch_of = jax.lax.broadcasted_iota(jnp.int32, (seg, channels), 0) \
+        % channels
+    ch_id = jax.lax.broadcasted_iota(jnp.int32, (seg, channels), 1)
+    sel_s = (ch_of == ch_id).astype(jnp.float32)
+
+    def chunk_body(k, _):
+        off = pl.multiple_of(k * chunk, chunk)
+        # slice coords from the REFS (value dynamic_slice is not
+        # supported by the Mosaic lowering)
+        r_k = rows_ref[0, 0, pl.ds(off, chunk)] - r0.astype(jnp.float32)
+        c_k = cols_ref[0, 0, pl.ds(off, chunk)]
+        rl_f = jnp.floor(r_k)
+        cl_f = jnp.floor(c_k)
+        wr_k = r_k - rl_f
+        wc_k = c_k - cl_f
+        rl_k = rl_f.astype(jnp.int32)
+        cl_k = cl_f.astype(jnp.int32)
+        # row one-hots (strict equality: out-of-slab taps vanish)
+        orow = ((sub == rl_k[:, None]).astype(jnp.float32)
+                * (1 - wr_k)[:, None]
+                + (sub == (rl_k + 1)[:, None]).astype(jnp.float32)
+                * wr_k[:, None])
+
+        def seg_body(s, acc):
+            soff = pl.multiple_of(s * seg, seg)
+            tmp = jnp.dot(orow, slab[:, pl.ds(soff, seg)],
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+            cl_rel = cl_k - s * wps  # col index within this segment
+            # a tap pair straddling a segment boundary resolves across
+            # iterations: the low tap matches in segment s, the high tap
+            # (cl_rel + 1 == wps) only in segment s + 1 where it is col 0
+            ocr = ((w_of_s == cl_rel[:, None]).astype(jnp.float32)
+                   * (1 - wc_k)[:, None]
+                   + (w_of_s == (cl_rel + 1)[:, None]).astype(jnp.float32)
+                   * wc_k[:, None])
+            return acc + jnp.dot(tmp * ocr, sel_s,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+
+        out_ref[0, pl.ds(off, chunk), :] = jax.lax.fori_loop(
+            0, splits, seg_body, jnp.zeros((chunk, channels), jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, samples // chunk, chunk_body, 0)
+
+
 def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
                    tiles_per_plane, slab_h, samples, height, width, channels,
                    precision, splits):
-    """rows/cols: (1, 1, S) f32 pixel coords; planes: (P, H, W*C) in ANY
+    """Sliced-slab variant: per tile, DMA the slab_h rows the tile touches.
+    rows/cols: (1, 1, S) f32 pixel coords; planes: (P, H, W*C) in ANY
     (HBM); out: (1, S, C)."""
     p = pl.program_id(0) // tiles_per_plane
-    WC = width * channels
 
     def body(slab, sem):
         r = rows_ref[0, 0, :]
-        c = cols_ref[0, 0, :]
         # anchor the slab at the first CONTRIBUTING row: rows outside
         # (-1, H) produce zero taps anyway, and letting them drag the anchor
         # down wastes slab coverage on rows no sample reads (real camera
@@ -76,71 +146,45 @@ def _sample_kernel(rows_ref, cols_ref, planes_ref, out_ref, *,
         dma = pltpu.make_async_copy(
             planes_ref.at[p, pl.ds(r0, slab_h), :], slab, sem)
         dma.start()
-
         dma.wait()
-        # process samples in 128-row chunks (128-lane-aligned ref slices)
-        # via fori_loop; inside each chunk the W*C axis is processed in
-        # `splits` segments with an accumulator so the (chunk, W*C/splits)
-        # intermediates fit the 16 MB VMEM budget alongside the matmul
-        # buffers — splits=4 frees enough room for wide-pose slabs
-        chunk = 128
-        seg = WC // splits
-        wps = width // splits  # plane columns per segment
-        sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, slab_h), 1)
-        w_of_s = jax.lax.broadcasted_iota(jnp.int32, (chunk, seg), 1) \
-            // channels
-        # selector for one segment: sel_s[w*C + ch, ch] = 1
-        ch_of = jax.lax.broadcasted_iota(jnp.int32, (seg, channels), 0) \
-            % channels
-        ch_id = jax.lax.broadcasted_iota(jnp.int32, (seg, channels), 1)
-        sel_s = (ch_of == ch_id).astype(jnp.float32)
-
-        def chunk_body(k, _):
-            off = pl.multiple_of(k * chunk, chunk)
-            # slice coords from the REFS (value dynamic_slice is not
-            # supported by the Mosaic lowering)
-            r_k = rows_ref[0, 0, pl.ds(off, chunk)] - r0.astype(jnp.float32)
-            c_k = cols_ref[0, 0, pl.ds(off, chunk)]
-            rl_f = jnp.floor(r_k)
-            cl_f = jnp.floor(c_k)
-            wr_k = r_k - rl_f
-            wc_k = c_k - cl_f
-            rl_k = rl_f.astype(jnp.int32)
-            cl_k = cl_f.astype(jnp.int32)
-            # row one-hots (strict equality: out-of-slab taps vanish)
-            orow = ((sub == rl_k[:, None]).astype(jnp.float32)
-                    * (1 - wr_k)[:, None]
-                    + (sub == (rl_k + 1)[:, None]).astype(jnp.float32)
-                    * wr_k[:, None])
-
-            def seg_body(s, acc):
-                soff = pl.multiple_of(s * seg, seg)
-                tmp = jnp.dot(orow, slab[:, pl.ds(soff, seg)],
-                              preferred_element_type=jnp.float32,
-                              precision=precision)
-                cl_rel = cl_k - s * wps  # col index within this segment
-                # a tap pair straddling a segment boundary resolves across
-                # iterations: the low tap matches in segment s, the high tap
-                # (cl_rel + 1 == wps) only in segment s + 1 where it is col 0
-                ocr = ((w_of_s == cl_rel[:, None]).astype(jnp.float32)
-                       * (1 - wc_k)[:, None]
-                       + (w_of_s == (cl_rel + 1)[:, None]).astype(jnp.float32)
-                       * wc_k[:, None])
-                return acc + jnp.dot(tmp * ocr, sel_s,
-                                     preferred_element_type=jnp.float32,
-                                     precision=precision)
-
-            out_ref[0, pl.ds(off, chunk), :] = jax.lax.fori_loop(
-                0, splits, seg_body, jnp.zeros((chunk, channels), jnp.float32))
-            return 0
-
-        jax.lax.fori_loop(0, samples // chunk, chunk_body, 0)
+        _interp_chunks(rows_ref, cols_ref, out_ref, slab, r0,
+                       slab_rows=slab_h, samples=samples, width=width,
+                       channels=channels, precision=precision, splits=splits)
 
     pl.run_scoped(
         body,
-        slab=pltpu.VMEM((slab_h, width * channels), jnp.float32),
+        slab=pltpu.VMEM((slab_h, width * channels), planes_ref.dtype),
         sem=pltpu.SemaphoreType.DMA(()),
     )
+
+
+def _sample_kernel_resident(rows_ref, cols_ref, planes_ref, out_ref,
+                            slab, sem, *, tiles_per_plane, samples, height,
+                            width, channels, precision, splits, reload_every):
+    """Resident-plane variant: the WHOLE plane lives in VMEM scratch, DMA'd
+    once per plane (scratch persists across the sequential TPU grid), so
+    there is NO pose/row-span constraint and HBM traffic is one plane read
+    per plane. Fits 256^2 x 32ch planes in bfloat16 (4.2 MB).
+
+    reload_every: load on every grid step instead of only on the first tile
+    of each plane — needed under interpret mode, where scratch does not
+    reliably persist across grid steps.
+    """
+    i = pl.program_id(0)
+    p = i // tiles_per_plane
+
+    def load():
+        dma = pltpu.make_async_copy(planes_ref.at[p, :, :], slab, sem)
+        dma.start()
+        dma.wait()
+
+    if reload_every:
+        load()
+    else:
+        pl.when(i % tiles_per_plane == 0)(load)
+    _interp_chunks(rows_ref, cols_ref, out_ref, slab, jnp.int32(0),
+                   slab_rows=height, samples=samples, width=width,
+                   channels=channels, precision=precision, splits=splits)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
@@ -151,10 +195,19 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
 
     Args:
       planes_flat: (P, H, W*C) planes; H is the compact (sliced) axis.
-      rows, cols: (P, M) pixel coords; M % tile_samples == 0; samples must
-        be grouped so each tile's row-span <= slab_h - 9 (the slab start is
-        8-aligned and the high bilinear tap needs one extra row); overflow
-        taps drop to zero.
+      rows, cols: (P, M) pixel coords; M % tile_samples == 0.
+      slab_h: rows of plane resident per tile. None = RESIDENT mode — the
+        whole plane is held in persistent VMEM scratch and DMA'd once per
+        plane, removing the row-span constraint entirely (requires the
+        plane to fit VMEM next to the matmul intermediates; exact in
+        interpret tests but not yet viable on v5e for 256^2 x 32ch planes
+        — see the module docstring). With an integer
+        slab_h, samples must be grouped so each tile's row-span <=
+        slab_h - 9 (the slab start is 8-aligned and the high bilinear tap
+        needs one extra row); overflow taps drop to zero.
+      precision: 'bf16' runs DEFAULT-precision (bf16 MXU passes) dots on
+        float32 data; 'highest' runs full-float32 dots. Data always stays
+        f32 — bf16 casts measured WORSE for VMEM (see _interp_chunks).
 
     Returns: (P, M, C) float32 samples (zeros padding semantics built in).
     """
@@ -171,15 +224,26 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
     # HIGHEST (full fp32) dot precisions
     prec = {'bf16': jax.lax.Precision.DEFAULT,
             'highest': jax.lax.Precision.HIGHEST}[precision]
+    resident = slab_h is None
+    slab_rows = H if resident else slab_h
     if splits is None:
         # wide slabs need the (chunk, W*C/splits) intermediates shrunk to
         # stay inside VMEM; segments must keep 128-lane alignment
-        splits = 4 if slab_h > 128 else 2
+        splits = 4 if slab_rows > 128 else 2
     assert W % splits == 0 and (W // splits * C) % 128 == 0
-    kernel = functools.partial(_sample_kernel, tiles_per_plane=T,
-                               slab_h=slab_h, samples=tile_samples,
-                               height=H, width=W, channels=C,
-                               precision=prec, splits=splits)
+    if resident:
+        kernel = functools.partial(_sample_kernel_resident, tiles_per_plane=T,
+                                   samples=tile_samples, height=H, width=W,
+                                   channels=C, precision=prec, splits=splits,
+                                   reload_every=interpret)
+        scratch = [pltpu.VMEM((H, WC), planes_flat.dtype),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        kernel = functools.partial(_sample_kernel, tiles_per_plane=T,
+                                   slab_h=slab_h, samples=tile_samples,
+                                   height=H, width=W, channels=C,
+                                   precision=prec, splits=splits)
+        scratch = []
     out = pl.pallas_call(
         kernel,
         grid=(P * T,),
@@ -193,13 +257,14 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
         out_specs=pl.BlockSpec((1, tile_samples, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P * T, tile_samples, C), jnp.float32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(r_t, c_t, planes_flat)
     return out.reshape(P, M, C)
 
 
 def sample_from_planes_fused(plane_features, coordinates, box_warp,
-                             tile_samples=512, slab_h=64, interpret=False,
+                             tile_samples=512, slab_h=None, interpret=False,
                              precision='bf16', splits=None):
     """Drop-in fast path for render.renderer.sample_from_planes.
 

@@ -207,10 +207,11 @@ class ImportanceRenderer:
             sampled_features = sample_from_planes_fused(
                 planes, sample_coordinates, box_warp=options['box_warp'],
                 # 1024-sample tiles measured 2.3-9x faster than 512 on v5e
-                # (fewer DMA/grid dispatches); slab 128 is the largest that
-                # fits VMEM beside the matmul intermediates and covers the
-                # near-frontal exact-pose cone — see ops/pallas_triplane.py
-                # module docstring for the span math and wider-pose options
+                # (fewer DMA/grid dispatches); slab 128 covers the
+                # near-frontal exact-pose cone and is hardware-validated.
+                # slab_h None (resident-plane mode: no pose constraint)
+                # is exact in interpret tests but still ResourceExhausts
+                # on v5e — see ops/pallas_triplane.py
                 tile_samples=options.get('fused_tile_samples', 1024),
                 slab_h=options.get('fused_slab_h', 128),
                 precision=options.get('fused_precision', 'bf16'))

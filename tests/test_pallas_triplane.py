@@ -35,8 +35,39 @@ def test_fused_matches_xla_on_camera_coords(rng):
     want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
     got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
                                               tile_samples=512, slab_h=32,
-                                              interpret=True))
+                                              interpret=True,
+                                              precision='highest'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_resident_mode_and_bf16_storage(rng):
+    """slab_h=None keeps the whole plane in persistent VMEM scratch — no
+    row-span constraint, so a hard side pose (yaw +0.6, unscaled coords
+    sweeping out of the box) must be exact at 'highest'. The bf16 path
+    stores the plane in bfloat16, so it only needs to match to bf16
+    rounding."""
+    planes = jnp.asarray(rng.randn(1, 3, 8, 64, 64).astype(np.float32))
+    import math
+    from next3d_tpu.render import camera_utils
+    cam = camera_utils.lookat_pose(math.pi / 2 + 0.6, math.pi / 2 + 0.1,
+                                   jnp.asarray([0, 0, 0.2]), radius=2.7,
+                                   batch_size=1)
+    K = jnp.asarray(camera_utils.fov_to_intrinsics(18.837))[None]
+    ro, rd = sample_rays(cam, K, 16)
+    depths = jnp.linspace(2.25, 3.3, 32)
+    coords = (ro[:, :, None] + depths[None, None, :, None]
+              * rd[:, :, None]).reshape(1, -1, 3)
+    want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
+    got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
+                                              tile_samples=512,
+                                              interpret=True,
+                                              precision='highest'))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    got_bf = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
+                                                 tile_samples=512,
+                                                 interpret=True,
+                                                 precision='bf16'))
+    np.testing.assert_allclose(got_bf, want, rtol=0.05, atol=0.05)
 
 
 def test_fused_zeros_padding_exact(rng):
@@ -47,7 +78,8 @@ def test_fused_zeros_padding_exact(rng):
     want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
     got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
                                               tile_samples=512, slab_h=64,
-                                              interpret=True))
+                                              interpret=True,
+                                              precision='highest'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
@@ -61,7 +93,8 @@ def test_fused_large_tiles_match_xla(rng):
     want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
     got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
                                               tile_samples=1024, slab_h=32,
-                                              interpret=True))
+                                              interpret=True,
+                                              precision='highest'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
@@ -75,5 +108,6 @@ def test_fused_matches_xla_on_grid_coords(rng):
     want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
     got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
                                               tile_samples=512, slab_h=24,
-                                              interpret=True))
+                                              interpret=True,
+                                              precision='highest'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
