@@ -35,7 +35,11 @@ def main():
 
     from next3d_tpu.models import TriPlaneGenerator
     rk = dict(ge.RENDER_KW_FFHQ)
-    if os.environ.get('NEXT3D_BENCH_FUSED', '1') == '1':
+    # the XLA take_along_axis sampling path measured FASTER than the fused
+    # Pallas kernel in clean single-job runs (257ms vs 1050ms+ per 1.57M
+    # samples) — the one-hot-matmul formulation burns ~30 TFLOP on what is
+    # fundamentally a gather. Fused stays opt-in for kernel development.
+    if os.environ.get('NEXT3D_BENCH_FUSED', '0') == '1':
         rk['fused_plane_sampling'] = True
     G = TriPlaneGenerator(
         z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,

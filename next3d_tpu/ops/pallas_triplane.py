@@ -1,12 +1,9 @@
 """Pallas TPU kernel: fused tri-plane bilinear sampling over sample tiles.
 
-The volume renderer's dominant cost is gathering 4x3 bilinear taps for every
-(ray, depth) sample from the 256^2 feature planes — XLA lowers this to
-row-gathers that run ~100x below HBM speed-of-light. This kernel exploits
-the renderer's structure (SURVEY 5.7's fused-render north star): consecutive
-samples are COMPACT along one plane axis (rays move slowly; depth sweeps the
-other axis), so each tile of samples needs only a SLAB of the plane in VMEM
-and the bilinear interpolation becomes MXU matmuls:
+The volume renderer gathers 4x3 bilinear taps for every (ray, depth) sample
+from the 256^2 feature planes. This kernel reformulates the gather as MXU
+matmuls over a plane slab held in VMEM (SURVEY 5.7's fused-render north
+star): consecutive samples are COMPACT along one plane axis, so
 
     rows:  onehot_r (S, slab_h) @ slab (slab_h, W*C)       -> (S, W*C) [MXU]
     cols:  (tmp * repeat(onehot_c, C)) @ selector (W*C, C) -> (S, C)   [MXU]
@@ -15,27 +12,31 @@ One-hot taps use STRICT equality, so out-of-image taps contribute 0 —
 exactly grid_sample's zeros padding.
 
 Two residency modes:
-- RESIDENT (slab_h=None): the whole plane lives in persistent VMEM
-  scratch and is DMA'd once per plane (scratch survives the sequential
-  TPU grid). No access-pattern constraint at all — exact for every camera
-  pose — and HBM reads one plane per plane per call. Exact in interpret
-  tests, but a 256^2 x 32ch f32 plane (8.4 MB) still ResourceExhausts on
-  v5e next to the matmul intermediates (and bf16 casts made VMEM pressure
-  WORSE — Mosaic keeps f32 originals live beside the bf16 copies), so
-  hardware enablement needs the intermediates shrunk (splits=8/16 and a
-  64-row sample chunk) — round-2 item.
+- RESIDENT (slab_h=None, the default): the WHOLE plane lives in persistent
+  VMEM scratch (8.4 MB f32 for 256^2 x 32ch) and is DMA'd once per plane —
+  scratch survives the sequential TPU grid. No access-pattern constraint:
+  hardware-validated EXACT (9.5e-7 at precision='highest') for frontal,
+  yaw-0.6 and yaw-0.78 camera poses at the full render sample count.
 - SLICED (integer slab_h): per tile, DMA only the slab_h rows the tile
   touches; for planes too large to reside (>= 512^2 x 32ch). A tile whose
   CONTRIBUTING row-span exceeds ~slab_h - 16 loses taps (they drop to
   zero — bounded error, never garbage). The span is pose-dependent: a
   full depth sweep moves plane-1 rows by sin(yaw)*1.05*(2/box_warp)*(W/2)
-  px at the FFHQ rig, so slab 128 covers |yaw| <= ~0.33 rad. Mosaic pads
-  the dot K-dim (slab_h) to 128-multiples via a padded slab copy, so
-  {64, 128} are the practical fp32 slab heights (184+ ResourceExhausts).
+  px at the FFHQ rig, so slab 128 covers |yaw| <= ~0.33 rad.
 
-The XLA path stays the default-correct reference; interpret-mode tests
-validate both modes on the renderer's access patterns, including a hard
-side pose against the no-constraint claim of resident mode.
+MEASURED STATUS (v5e, clean single-job runs, 1.57M samples x 3 planes,
+256^2 x 32ch): XLA's take_along_axis sampling path 257 ms; this kernel
+1050 ms at 'highest' (3.8 s at DEFAULT-precision dots — the multi-pass
+decomposition dominates). The one-hot formulation spends ~30 TFLOP on
+what is fundamentally a gather, so it loses to XLA's native gather until
+more work is fused behind the slab (decoder MLP + ray marcher — round-2).
+It therefore ships as an OPT-IN experimental kernel
+(rendering_kwargs['fused_plane_sampling']); the XLA path is the default.
+
+Pitfall that cost a day: RESOURCE_EXHAUSTED from a remote-TPU run can be
+HBM exhaustion of the WHOLE program (an oversized validation harness),
+not kernel VMEM — earlier "VMEM OOM" conclusions about wide slabs were
+exactly this. Bound the harness working set before blaming the kernel.
 
 Layout: planes are flattened to (P, H_compact, W*C); the compact axis is
 sliced with an 8-aligned dynamic offset.
@@ -53,27 +54,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _interp_chunks(rows_ref, cols_ref, out_ref, slab, r0, *, slab_rows,
-                   samples, width, channels, precision, splits):
+                   samples, width, channels, precision, splits,
+                   sub_chunk=128):
     """Bilinear one-hot matmul interpolation of a sample tile from `slab`.
 
     slab is a VMEM ref of (slab_rows, W*C); r0 is the plane row the slab's
-    first row corresponds to. Data stays float32: casting operands (or the
-    slab) to bfloat16 was measured to INCREASE VMEM pressure on v5e — the
-    Mosaic lowering keeps the f32 originals live next to the bf16 copies,
-    and a config that fits in plain f32 ResourceExhausts with casts. The
-    `precision` argument alone picks bf16 (DEFAULT) vs full-f32 (HIGHEST)
-    MXU passes.
+    first row corresponds to. Data stays float32; the `precision` argument
+    alone picks DEFAULT vs HIGHEST MXU passes. (A bf16-cast variant once
+    appeared to raise VMEM pressure, but that experiment ran in a harness
+    later found to exhaust HBM — re-evaluate bf16 storage in round 2.)
     """
     WC = width * channels
     # process samples in 128-row chunks (128-lane-aligned ref slices) via
-    # fori_loop; inside each chunk the W*C axis is processed in `splits`
-    # segments with an accumulator so the (chunk, W*C/splits) intermediates
-    # fit the VMEM budget alongside the slab and matmul buffers
+    # fori_loop — optionally cut into sub_chunk pieces with STATIC value
+    # slices (dynamic lane slices must be 128-aligned; static ones are
+    # free), shrinking the (rows, W*C/splits) intermediates further.
+    # Inside each piece the W*C axis is processed in `splits` segments
+    # with an accumulator so the intermediates fit the VMEM budget
+    # alongside the slab and matmul buffers.
     chunk = 128
+    assert chunk % sub_chunk == 0
     seg = WC // splits
     wps = width // splits  # plane columns per segment
-    sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, slab_rows), 1)
-    w_of_s = jax.lax.broadcasted_iota(jnp.int32, (chunk, seg), 1) \
+    sub = jax.lax.broadcasted_iota(jnp.int32, (sub_chunk, slab_rows), 1)
+    w_of_s = jax.lax.broadcasted_iota(jnp.int32, (sub_chunk, seg), 1) \
         // channels
     # selector for one segment: sel_s[w*C + ch, ch] = 1
     ch_of = jax.lax.broadcasted_iota(jnp.int32, (seg, channels), 0) \
@@ -85,39 +89,45 @@ def _interp_chunks(rows_ref, cols_ref, out_ref, slab, r0, *, slab_rows,
         off = pl.multiple_of(k * chunk, chunk)
         # slice coords from the REFS (value dynamic_slice is not
         # supported by the Mosaic lowering)
-        r_k = rows_ref[0, 0, pl.ds(off, chunk)] - r0.astype(jnp.float32)
-        c_k = cols_ref[0, 0, pl.ds(off, chunk)]
-        rl_f = jnp.floor(r_k)
-        cl_f = jnp.floor(c_k)
-        wr_k = r_k - rl_f
-        wc_k = c_k - cl_f
-        rl_k = rl_f.astype(jnp.int32)
-        cl_k = cl_f.astype(jnp.int32)
-        # row one-hots (strict equality: out-of-slab taps vanish)
-        orow = ((sub == rl_k[:, None]).astype(jnp.float32)
-                * (1 - wr_k)[:, None]
-                + (sub == (rl_k + 1)[:, None]).astype(jnp.float32)
-                * wr_k[:, None])
+        r_full = rows_ref[0, 0, pl.ds(off, chunk)] - r0.astype(jnp.float32)
+        c_full = cols_ref[0, 0, pl.ds(off, chunk)]
+        for piece in range(chunk // sub_chunk):
+            r_k = r_full[piece * sub_chunk:(piece + 1) * sub_chunk]
+            c_k = c_full[piece * sub_chunk:(piece + 1) * sub_chunk]
+            rl_f = jnp.floor(r_k)
+            cl_f = jnp.floor(c_k)
+            wr_k = r_k - rl_f
+            wc_k = c_k - cl_f
+            rl_k = rl_f.astype(jnp.int32)
+            cl_k = cl_f.astype(jnp.int32)
+            # row one-hots (strict equality: out-of-slab taps vanish)
+            orow = ((sub == rl_k[:, None]).astype(jnp.float32)
+                    * (1 - wr_k)[:, None]
+                    + (sub == (rl_k + 1)[:, None]).astype(jnp.float32)
+                    * wr_k[:, None])
 
-        def seg_body(s, acc):
-            soff = pl.multiple_of(s * seg, seg)
-            tmp = jnp.dot(orow, slab[:, pl.ds(soff, seg)],
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
-            cl_rel = cl_k - s * wps  # col index within this segment
-            # a tap pair straddling a segment boundary resolves across
-            # iterations: the low tap matches in segment s, the high tap
-            # (cl_rel + 1 == wps) only in segment s + 1 where it is col 0
-            ocr = ((w_of_s == cl_rel[:, None]).astype(jnp.float32)
-                   * (1 - wc_k)[:, None]
-                   + (w_of_s == (cl_rel + 1)[:, None]).astype(jnp.float32)
-                   * wc_k[:, None])
-            return acc + jnp.dot(tmp * ocr, sel_s,
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)
+            def seg_body(s, acc, cl_k=cl_k, wc_k=wc_k, orow=orow):
+                soff = pl.multiple_of(s * seg, seg)
+                tmp = jnp.dot(orow, slab[:, pl.ds(soff, seg)],
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+                cl_rel = cl_k - s * wps  # col index within this segment
+                # a tap pair straddling a segment boundary resolves across
+                # iterations: the low tap matches in segment s, the high
+                # tap (cl_rel + 1 == wps) only in segment s + 1 at col 0
+                ocr = ((w_of_s == cl_rel[:, None]).astype(jnp.float32)
+                       * (1 - wc_k)[:, None]
+                       + (w_of_s == (cl_rel + 1)[:, None]).astype(jnp.float32)
+                       * wc_k[:, None])
+                return acc + jnp.dot(tmp * ocr, sel_s,
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)
 
-        out_ref[0, pl.ds(off, chunk), :] = jax.lax.fori_loop(
-            0, splits, seg_body, jnp.zeros((chunk, channels), jnp.float32))
+            ooff = pl.multiple_of(off + piece * sub_chunk, sub_chunk)
+            out_ref[0, pl.ds(ooff, sub_chunk), :] = \
+                jax.lax.fori_loop(0, splits, seg_body,
+                                  jnp.zeros((sub_chunk, channels),
+                                            jnp.float32))
         return 0
 
     jax.lax.fori_loop(0, samples // chunk, chunk_body, 0)
@@ -164,7 +174,7 @@ def _sample_kernel_resident(rows_ref, cols_ref, planes_ref, out_ref,
     """Resident-plane variant: the WHOLE plane lives in VMEM scratch, DMA'd
     once per plane (scratch persists across the sequential TPU grid), so
     there is NO pose/row-span constraint and HBM traffic is one plane read
-    per plane. Fits 256^2 x 32ch planes in bfloat16 (4.2 MB).
+    per plane.
 
     reload_every: load on every grid step instead of only on the first tile
     of each plane — needed under interpret mode, where scratch does not
@@ -182,9 +192,12 @@ def _sample_kernel_resident(rows_ref, cols_ref, planes_ref, out_ref,
         load()
     else:
         pl.when(i % tiles_per_plane == 0)(load)
+    # 64-sample pieces quarter the matmul intermediates so they fit beside
+    # the full-plane slab
     _interp_chunks(rows_ref, cols_ref, out_ref, slab, jnp.int32(0),
                    slab_rows=height, samples=samples, width=width,
-                   channels=channels, precision=precision, splits=splits)
+                   channels=channels, precision=precision, splits=splits,
+                   sub_chunk=64)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
@@ -198,16 +211,14 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
       rows, cols: (P, M) pixel coords; M % tile_samples == 0.
       slab_h: rows of plane resident per tile. None = RESIDENT mode — the
         whole plane is held in persistent VMEM scratch and DMA'd once per
-        plane, removing the row-span constraint entirely (requires the
-        plane to fit VMEM next to the matmul intermediates; exact in
-        interpret tests but not yet viable on v5e for 256^2 x 32ch planes
-        — see the module docstring). With an integer
-        slab_h, samples must be grouped so each tile's row-span <=
-        slab_h - 9 (the slab start is 8-aligned and the high bilinear tap
-        needs one extra row); overflow taps drop to zero.
+        plane, removing the row-span constraint entirely; hardware-
+        validated exact for all tested poses on 256^2 x 32ch planes. With
+        an integer slab_h, samples must be grouped so each tile's row-span
+        <= slab_h - 9 (the slab start is 8-aligned and the high bilinear
+        tap needs one extra row); overflow taps drop to zero.
       precision: 'bf16' runs DEFAULT-precision (bf16 MXU passes) dots on
-        float32 data; 'highest' runs full-float32 dots. Data always stays
-        f32 — bf16 casts measured WORSE for VMEM (see _interp_chunks).
+        float32 data; 'highest' runs full-float32 dots (exact, and
+        currently also FASTER on v5e — see the module docstring).
 
     Returns: (P, M, C) float32 samples (zeros padding semantics built in).
     """
@@ -228,8 +239,12 @@ def triplane_sample_tiles(planes_flat, rows, cols, channels, tile_samples=512,
     slab_rows = H if resident else slab_h
     if splits is None:
         # wide slabs need the (chunk, W*C/splits) intermediates shrunk to
-        # stay inside VMEM; segments must keep 128-lane alignment
-        splits = 4 if slab_rows > 128 else 2
+        # stay inside VMEM; segments must keep 128-lane alignment, so back
+        # off the split count until (W*C/splits) % 128 == 0
+        splits = 8 if resident else (4 if slab_rows > 128 else 2)
+        while splits > 1 and not (W % splits == 0
+                                  and (W // splits * C) % 128 == 0):
+            splits //= 2
     assert W % splits == 0 and (W // splits * C) % 128 == 0
     if resident:
         kernel = functools.partial(_sample_kernel_resident, tiles_per_plane=T,

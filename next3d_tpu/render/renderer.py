@@ -206,14 +206,13 @@ class ImportanceRenderer:
             from ..ops.pallas_triplane import sample_from_planes_fused
             sampled_features = sample_from_planes_fused(
                 planes, sample_coordinates, box_warp=options['box_warp'],
-                # 1024-sample tiles measured 2.3-9x faster than 512 on v5e
-                # (fewer DMA/grid dispatches); slab 128 covers the
-                # near-frontal exact-pose cone and is hardware-validated.
-                # slab_h None (resident-plane mode: no pose constraint)
-                # is exact in interpret tests but still ResourceExhausts
-                # on v5e — see ops/pallas_triplane.py
+                # resident-plane mode: hardware-validated EXACT (9.5e-7 at
+                # 'highest') for every camera pose. NOTE: the fused kernel
+                # currently measures SLOWER than the default XLA sampling
+                # path in clean runs — it is an opt-in experimental kernel;
+                # see ops/pallas_triplane.py for the measured numbers
                 tile_samples=options.get('fused_tile_samples', 1024),
-                slab_h=options.get('fused_slab_h', 128),
+                slab_h=options.get('fused_slab_h', None),
                 precision=options.get('fused_precision', 'bf16'))
         else:
             sampled_features = sample_from_planes(planes, sample_coordinates,
