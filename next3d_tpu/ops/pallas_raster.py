@@ -154,3 +154,240 @@ def rasterize_mesh_pallas(verts, faces, image_size, patch=32, interpret=False):
         interpret=interpret,
     )(face_data)
     return fid, zbuf
+
+
+# ---------------------------------------------------------------------------
+# Binned segment rasterizer — the production TPU path.
+#
+# Round-1 profiling showed the XLA tiled rasterizer spends ~150ms in per-tile
+# top_k binning and ~400ms in candidate take_along_axis gathers (batch 4 x 4
+# views @ 256^2). This design removes both:
+#   * binning = sort-by-tile: each face emits 4 entries (the tiles of its
+#     bbox corners; with TILE=32 > max FLAME face span this covers every
+#     overlapped tile exactly); entries are key-sorted by tile id — one
+#     lax.sort_key_val per image instead of T top_k calls;
+#   * candidate data = ONE row-gather into sorted order (contiguous
+#     segments), so the kernel reads each tile's candidates with a single
+#     strided DMA — zero gathers inside the hot loop;
+#   * visibility = VPU brute force per tile over its real candidate count
+#     (dynamic trip count), candidates on lanes x pixels on sublanes, with
+#     a striped (pixel, lane) min carry resolved once at the end.
+# ---------------------------------------------------------------------------
+
+TILE = 32  # pixels per tile side; must exceed the max face bbox span
+
+
+def _binned_kernel(starts_ref, slab_ref, fid_out, zbuf_out, seg, zmin, fidc,
+                   dma_sem, *, tiles_x, max_seg, n_coeff=13):
+    """Grid (B, T). slab_ref: (B, 16, E_total) coeff-major candidate slab
+    (rows: b0c,b0x,b0y,b1c,b1x,b1y,b2c,b2x,b2y,zc,zx,zy,fid).
+    starts_ref (scalar prefetch): (B*(T+1),) segment starts.
+
+    Pixel layout: tile-local pixel p = s*128 + g (sublane s in 0..7, lane
+    group g in 0..127); image row = p // TILE, col = p % TILE. Because
+    128 % TILE == 0, all 8 pixels of a group share one COLUMN (g % TILE)
+    and differ only in row — so per (packet, group) the x coordinate is a
+    scalar and y is an (8,1) vector; no dynamic lane extraction needed.
+    The min carry is striped: carry row r = g*8 + s, lane = candidate
+    index mod 128; resolved across lanes once after all packets.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+    base = b * (T + 1)
+    start = starts_ref[base + t]
+    n = starts_ref[base + t + 1] - start
+    # HBM lane slices must be 128-aligned: fetch from the floor boundary and
+    # mask the skipped prefix in-loop
+    astart = pl.multiple_of((start // 128) * 128, 128)
+    skip = start - astart
+
+    cp = pltpu.make_async_copy(
+        slab_ref.at[b, :, pl.ds(astart, max_seg)], seg, dma_sem)
+    cp.start()
+
+    base_x = (t % tiles_x) * TILE
+    base_y = (t // tiles_x) * TILE
+    # per-group y vector: row = s*4 + g//32 (TILE=32, 128/32=4 rows/sublane)
+    s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    gy_base = (base_y + s8 * (128 // TILE)).astype(jnp.float32)   # (8,1)
+
+    zmin[...] = jnp.full((1024, 128), BIG_Z, jnp.float32)
+    fidc[...] = jnp.full((1024, 128), 2.0 ** 30, jnp.float32)
+
+    cp.wait()
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def packet(i, _):
+        off = pl.multiple_of(i * 128, 128)
+        lane_g = lane128 + off
+        valid = (lane_g >= skip) & (lane_g < skip + n)       # (1,128)
+        c = [seg[j, pl.ds(off, 128)].reshape(1, 128)
+             for j in range(n_coeff)]
+        b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y, zc, zx, zy, fidv = c
+
+        def group(g, _):
+            gx = (base_x + g % TILE).astype(jnp.float32)      # scalar
+            gy = gy_base + (g // TILE).astype(jnp.float32)    # (8,1)
+            w0 = b0c + b0x * gx + b0y * gy                    # (8,128)
+            w1 = b1c + b1x * gx + b1y * gy
+            w2 = b2c + b2x * gx + b2y * gy
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+            z = zc + zx * gx + zy * gy
+            z = jnp.where(inside, z, BIG_Z)
+            r = pl.multiple_of(g * 8, 8)
+            zold = zmin[pl.ds(r, 8), :]
+            fold = fidc[pl.ds(r, 8), :]
+            better = (z < zold) | ((z == zold) & (fidv < fold) & inside)
+            zmin[pl.ds(r, 8), :] = jnp.where(better, z, zold)
+            fidc[pl.ds(r, 8), :] = jnp.where(better, fidv, fold)
+            return 0
+
+        jax.lax.fori_loop(0, 128, group, 0)
+        return 0
+
+    nb = pl.cdiv(skip + n, 128)
+    jax.lax.fori_loop(0, nb, packet, 0)
+
+    # resolve across the 128 candidate lanes: min z, tie -> min fid
+    zrow = jnp.min(zmin[...], axis=1, keepdims=True)          # (1024,1)
+    ftie = jnp.where(zmin[...] == zrow, fidc[...], 2.0 ** 30)
+    frow = jnp.min(ftie, axis=1, keepdims=True)               # (1024,1)
+    # carry row r = g*8 + s holds pixel p = s*128 + g: (128,8) -> T -> (8,128)
+    zbuf_out[0, 0] = zrow.reshape(128, 8).T
+    f = frow.reshape(128, 8).T
+    fid_out[0, 0] = jnp.where(f >= 2.0 ** 30, -1, f).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def rasterize_mesh_pallas_binned(verts, faces, image_size, max_seg=8192,
+                                 interpret=False):
+    """Sort-binned Pallas rasterizer (see module notes above).
+
+    Same contract as render/rasterizer.rasterize_mesh: verts (B, V, 3) with
+    x, y in [-1, 1] (pixel col = (x+1)*W/2 - 0.5), z depth, smaller z wins,
+    ties -> lower face id; faces (F, 3) shared topology; backface culling by
+    signed area > 1e-8. EXACT (no capacity heuristic) provided
+    (a) every face bbox spans < TILE=32 pixels per axis
+        (required_patch_size < 32 — holds for FLAME @ 256), and
+    (b) no tile receives more than max_seg entries (use
+        required_tile_capacity(tile=32) * 4 margin to validate).
+
+    Returns (pix_to_face (B, H, W) int32, zbuf (B, H, W) f32).
+    """
+    verts = jax.lax.stop_gradient(verts)
+    B = verts.shape[0]
+    F = faces.shape[0]
+    H = W = image_size
+    assert H % TILE == 0
+    Tx = W // TILE
+    T = Tx * (H // TILE)
+    faces = faces.astype(jnp.int32)
+
+    px = (verts[..., 0] + 1) * (W / 2) - 0.5
+    py = (verts[..., 1] + 1) * (H / 2) - 0.5
+    fx = px[:, faces]                                        # (B, F, 3)
+    fy = py[:, faces]
+    fz = verts[..., 2][:, faces]
+    x0, x1, x2 = fx[..., 0], fx[..., 1], fx[..., 2]
+    y0, y1, y2 = fy[..., 0], fy[..., 1], fy[..., 2]
+    z0, z1, z2 = fz[..., 0], fz[..., 1], fz[..., 2]
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    keep = area > 1e-8
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, area, 1.0), 0.0)
+
+    # barycentric/z affine coefficients in pixel coords (w_i/area as
+    # c + x*px + y*py); culled faces get b0c = -inf so inside is never true
+    def edge_coeffs(xa, ya, xb, yb):
+        cx = -(yb - ya) * inv
+        cy = (xb - xa) * inv
+        cc = ((yb - ya) * xa - (xb - xa) * ya) * inv
+        return cc, cx, cy
+
+    b0c, b0x, b0y = edge_coeffs(x1, y1, x2, y2)
+    b1c, b1x, b1y = edge_coeffs(x2, y2, x0, y0)
+    b2c, b2x, b2y = edge_coeffs(x0, y0, x1, y1)
+    zc = b0c * z0 + b1c * z1 + b2c * z2
+    zx = b0x * z0 + b1x * z1 + b2x * z2
+    zy = b0y * z0 + b1y * z1 + b2y * z2
+    b0c = jnp.where(keep, b0c, -jnp.inf)
+    fidf = jnp.broadcast_to(jnp.arange(F, dtype=jnp.float32)[None], (B, F))
+    coeffs = jnp.stack([b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y,
+                        zc, zx, zy, fidf,
+                        jnp.zeros_like(b0c), jnp.zeros_like(b0c),
+                        jnp.zeros_like(b0c)], axis=-1)       # (B, F, 16)
+
+    # 4 bbox-corner tile entries per face; duplicates and culled faces are
+    # routed to the dummy tile T (sorted to the end, never visited)
+    txlo = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(x0, x1), x2) / TILE),
+                    0, Tx - 1).astype(jnp.int32)
+    txhi = jnp.clip(jnp.floor(jnp.maximum(jnp.maximum(x0, x1), x2) / TILE),
+                    0, Tx - 1).astype(jnp.int32)
+    tylo = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(y0, y1), y2) / TILE),
+                    0, H // TILE - 1).astype(jnp.int32)
+    tyhi = jnp.clip(jnp.floor(jnp.maximum(jnp.maximum(y0, y1), y2) / TILE),
+                    0, H // TILE - 1).astype(jnp.int32)
+    dummy = jnp.int32(T)
+    e00 = tylo * Tx + txlo
+    e01 = jnp.where(txhi > txlo, tylo * Tx + txhi, dummy)
+    e10 = jnp.where(tyhi > tylo, tyhi * Tx + txlo, dummy)
+    e11 = jnp.where((txhi > txlo) & (tyhi > tylo), tyhi * Tx + txhi, dummy)
+    tids = jnp.stack([e00, e01, e10, e11], axis=-1)          # (B, F, 4)
+    tids = jnp.where(keep[..., None], tids, dummy).reshape(B, 4 * F)
+
+    eface = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
+                             (F, 4)).reshape(1, 4 * F)
+    eface = jnp.broadcast_to(eface, (B, 4 * F))
+    tids_sorted, order = jax.lax.sort_key_val(tids, eface, dimension=1)
+
+    # segment starts via histogram + cumsum (replaces searchsorted)
+    counts = jnp.zeros((B, T + 1), jnp.int32).at[
+        jnp.arange(B)[:, None], jnp.clip(tids, 0, T)].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.cumsum(counts, axis=1, dtype=jnp.int32)[:, :T]], axis=1)
+
+    # ONE row-gather into sorted order, then coeff-major layout + DMA margin
+    slab = jnp.take_along_axis(coeffs, order[..., None], axis=1)  # (B,E,16)
+    slab = slab.transpose(0, 2, 1)                            # (B, 16, E)
+    slab = jnp.pad(slab, ((0, 0), (0, 0), (0, max_seg)))
+
+    kernel = functools.partial(_binned_kernel, tiles_x=Tx, max_seg=max_seg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # slab stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 8, 128), lambda b, t, *_: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, t, *_: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, max_seg), jnp.float32),   # segment
+            pltpu.VMEM((1024, 128), jnp.float32),     # z carry
+            pltpu.VMEM((1024, 128), jnp.float32),     # fid carry
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    fid, zbuf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, T, 8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(starts.reshape(-1), slab)
+
+    # unscramble: (B, T, 8, 128) with p = s*128 + g -> (B, H, W)
+    def unscramble(a):
+        a = a.reshape(B, H // TILE, Tx, TILE * TILE // TILE, TILE)
+        # p = row-major within tile: (B, Ty, Tx, TILE(rows), TILE(cols))
+        return a.transpose(0, 1, 3, 2, 4).reshape(B, H, W)
+
+    return unscramble(fid), unscramble(zbuf)

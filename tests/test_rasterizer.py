@@ -220,3 +220,29 @@ def test_pallas_rasterizer_matches_scatter_interpret(rng):
     covered = pf_s >= 0
     np.testing.assert_allclose(np.asarray(z_p)[covered],
                                np.asarray(z_s)[covered], rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_binned_matches_scatter_interpret():
+    """Sort-binned Pallas kernel (interpret mode) vs the scatter golden on
+    the real FLAME mesh: pix_to_face must agree EXACTLY (the binning is
+    capacity-free; only float rounding in the affine-coefficient form could
+    flip an edge pixel, and at 128^2 it does not)."""
+    from next3d_tpu.ops.pallas_raster import rasterize_mesh_pallas_binned
+    mesh = load_obj(REF_DEMO)
+    rng = np.random.RandomState(0)
+    v = mesh.verts
+    v = (v - v.mean(0)) / np.abs(v - v.mean(0)).max() * 0.9
+    verts = np.stack([v, v + rng.randn(*v.shape) * 0.002]).astype(np.float32)
+    verts = np.concatenate([verts[..., :2], 10.0 - verts[..., 2:] * 2], -1)
+    faces = mesh.faces.astype(np.int32)
+    H = 128
+    pf_s, z_s = rasterize_mesh(jnp.asarray(verts), jnp.asarray(faces), H,
+                               patch=32)
+    pf_b, z_b = rasterize_mesh_pallas_binned(jnp.asarray(verts),
+                                             jnp.asarray(faces), H,
+                                             max_seg=8192, interpret=True)
+    pf_s, pf_b = np.asarray(pf_s), np.asarray(pf_b)
+    np.testing.assert_array_equal(pf_b, pf_s)
+    covered = pf_s >= 0
+    np.testing.assert_allclose(np.asarray(z_b)[covered],
+                               np.asarray(z_s)[covered], rtol=1e-3, atol=2e-2)
