@@ -3,7 +3,9 @@
 Behavioral spec: train_next3d.py:224-422 — the same knob inventory mapped to
 our config; per-dataset rendering options (ffhq defaults:
 train_next3d.py:330-339); SR module by resolution (:301-308); lazy-reg
-intervals G=4 / D=16; EMA kimg = batch*10/32 (:294).
+intervals G=density_reg_every / D=16; EMA kimg = batch*10/32 (:294); ADA
+pipe config (:388-390); resume-time blur/gpc/ema-rampup disabling
+(:394-401).
 """
 
 from __future__ import annotations
@@ -25,6 +27,12 @@ def choose_sr_module(resolution):
             128: 'SuperresolutionHybrid2X'}[resolution]
 
 
+def parse_metric_list(s):
+    if s is None or s in ('', 'none', 'None'):
+        return []
+    return [m.strip() for m in str(s).split(',') if m.strip()]
+
+
 @click.command()
 @click.option('--outdir', required=True)
 @click.option('--data', 'data_path', required=True)
@@ -39,20 +47,49 @@ def choose_sr_module(resolution):
 @click.option('--dlr', type=float, default=0.002)
 @click.option('--cbase', 'channel_base', type=int, default=32768)
 @click.option('--cmax', 'channel_max', type=int, default=512)
+@click.option('--map-depth', 'map_depth', type=int, default=2)
+@click.option('--mbstd-group', 'mbstd_group', type=int, default=4)
 @click.option('--gen-pose-cond', type=bool, default=False)
 @click.option('--gen-exp-cond', type=bool, default=False,
               help='expression labels via a second D mapping (reference '
                    'training_loop.py:162-176)')
 @click.option('--gpc-reg-prob', type=float, default=0.5)
+@click.option('--gpc-reg-fade-kimg', type=float, default=1000.0)
+@click.option('--disc-c-noise', type=float, default=0.0)
 @click.option('--density-reg', type=float, default=0.25)
+@click.option('--density-reg-every', type=float, default=4)
+@click.option('--density-reg-p-dist', type=float, default=0.004)
+@click.option('--reg-type', type=click.Choice(
+    ['l1', 'monotonic-detach', 'monotonic-fixed']), default='l1')
+@click.option('--style-mixing-prob', type=float, default=0.0)
+@click.option('--aug', type=click.Choice(['noaug', 'ada', 'fixed']),
+              default='noaug')
+@click.option('--target', 'ada_target', type=float, default=0.6)
+@click.option('--p', 'aug_p', type=float, default=0.2,
+              help='probability for --aug=fixed')
+@click.option('--freezed', type=int, default=0,
+              help='freeze first N layers of D')
+@click.option('--mirror', type=bool, default=False,
+              help='dataset x-flips (image-only, see dataset.py note)')
+@click.option('--metrics', type=str, default='none',
+              help='comma-separated metric names evaluated on snapshots, '
+                   'or "none"')
+@click.option('--workers', type=int, default=3,
+              help='prefetch queue depth for the input pipeline')
 @click.option('--resume', 'resume_path', type=str, default=None)
+@click.option('--resume-blur', type=bool, default=False)
 @click.option('--seed', type=int, default=0)
 @click.option('--topology-path', type=str,
               default='/root/reference/data/demo/demo.obj')
 @click.option('--eye-mask-path', type=str, default=None)
 @click.option('--resolution', type=int, default=512)
 @click.option('--sr-num-fp16-res', type=int, default=4)
+@click.option('--sr-noise-mode', type=click.Choice(['random', 'none']),
+              default='none')
 @click.option('--neural-rendering-resolution-initial', type=int, default=64)
+@click.option('--neural-rendering-resolution-final', type=int, default=None)
+@click.option('--neural-rendering-resolution-fade-kimg', type=float,
+              default=1000.0)
 @click.option('--blur-fade-kimg', type=float, default=200.0)
 @click.option('--plane-resolution', type=int, default=256)
 @click.option('--dry-run', is_flag=True)
@@ -63,12 +100,22 @@ def main(**opts):
 def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
           gen_exp_cond=False,
           total_kimg=25000, kimg_per_tick=4, snapshot_ticks=20, glr=0.0025,
-          dlr=0.002, channel_base=32768, channel_max=512,
-          gen_pose_cond=False, gpc_reg_prob=0.5, density_reg=0.25,
-          resume_path=None, seed=0,
+          dlr=0.002, channel_base=32768, channel_max=512, map_depth=2,
+          mbstd_group=4,
+          gen_pose_cond=False, gpc_reg_prob=0.5, gpc_reg_fade_kimg=1000.0,
+          disc_c_noise=0.0,
+          density_reg=0.25, density_reg_every=4, density_reg_p_dist=0.004,
+          reg_type='l1', style_mixing_prob=0.0,
+          aug='noaug', ada_target=0.6, aug_p=0.2, freezed=0, mirror=False,
+          metrics='none', workers=3,
+          resume_path=None, resume_blur=False, seed=0,
           topology_path='/root/reference/data/demo/demo.obj',
           eye_mask_path=None, resolution=512, sr_num_fp16_res=4,
-          neural_rendering_resolution_initial=64, blur_fade_kimg=200.0,
+          sr_noise_mode='none',
+          neural_rendering_resolution_initial=64,
+          neural_rendering_resolution_final=None,
+          neural_rendering_resolution_fade_kimg=1000.0,
+          blur_fade_kimg=200.0,
           plane_resolution=256, dry_run=False):
     import jax
 
@@ -83,8 +130,10 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         c_gen_conditioning_zero=not gen_pose_cond,
         gpc_reg_prob=gpc_reg_prob if gen_pose_cond else None,
         density_reg=density_reg,
+        density_reg_p_dist=density_reg_p_dist,
+        reg_type=reg_type,
         superresolution_module=choose_sr_module(resolution),
-        superresolution_noise_mode='none',
+        superresolution_noise_mode=sr_noise_mode,
         image_resolution=resolution,
     )
 
@@ -94,36 +143,69 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         uv_face_eye_mask_path=eye_mask_path,
         rendering_kwargs=rendering_kwargs, sr_num_fp16_res=sr_num_fp16_res,
         channel_base=channel_base, channel_max=channel_max,
+        mapping_kwargs=dict(num_layers=map_depth),
         plane_resolution=plane_resolution)
+    d_common = dict(img_resolution=resolution, img_channels=3,
+                    channel_base=channel_base, channel_max=channel_max,
+                    block_kwargs=dict(freeze_layers=freezed),
+                    epilogue_kwargs=dict(mbstd_group_size=mbstd_group),
+                    disc_c_noise=disc_c_noise)
     if gen_exp_cond:
         from ..nn import DualLabelDualDiscriminator
-        D = DualLabelDualDiscriminator(
-            c_dim=25, c2_dim=50, img_resolution=resolution, img_channels=3,
-            channel_base=channel_base, channel_max=channel_max)
+        D = DualLabelDualDiscriminator(c_dim=25, c2_dim=50, **d_common)
     else:
-        D = DualDiscriminator(c_dim=25, img_resolution=resolution,
-                              img_channels=3, channel_base=channel_base,
-                              channel_max=channel_max)
+        D = DualDiscriminator(c_dim=25, **d_common)
+
+    # resume-time schedule disabling (reference train_next3d.py:394-401)
+    ada_kimg = 500
+    ema_rampup = 0.05
+    blur_init_sigma = 10.0 if blur_fade_kimg > 0 else 0.0
+    if resume_path is not None:
+        ada_kimg = 100  # make ADA react faster at the beginning
+        ema_rampup = None  # disable EMA rampup
+        if not resume_blur:
+            blur_init_sigma = 0.0  # disable blur rampup
+            gpc_reg_fade_kimg = 0.0  # disable swapping rampup
+
+    augment_pipe = None
+    if aug != 'noaug':
+        from ..train.augment import AugmentPipe
+        # reference pipe config (train_next3d.py:388)
+        augment_pipe = AugmentPipe(
+            xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1, xfrac=1,
+            brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1)
 
     loss_cfg = LossConfig(
         r1_gamma=r1_gamma,
         gpc_reg_prob=gpc_reg_prob if gen_pose_cond else None,
+        gpc_reg_fade_kimg=gpc_reg_fade_kimg,
         density_reg=density_reg,
+        density_reg_p_dist=density_reg_p_dist,
+        reg_type=reg_type,
+        style_mixing_prob=style_mixing_prob,
+        box_warp=rendering_kwargs.get('box_warp', 1.0),
         neural_rendering_resolution_initial=neural_rendering_resolution_initial,
-        blur_init_sigma=10.0 if blur_fade_kimg > 0 else 0.0,
+        neural_rendering_resolution_final=neural_rendering_resolution_final,
+        neural_rendering_resolution_fade_kimg=neural_rendering_resolution_fade_kimg,
+        blur_init_sigma=blur_init_sigma,
         blur_fade_kimg=blur_fade_kimg * batch_size / 32,
         dual_discrimination=True)
     from ..parallel import data_parallel_mesh
-    loss_obj = StyleGAN2Loss(G, D, loss_cfg)
+    loss_obj = StyleGAN2Loss(G, D, loss_cfg, augment_pipe=augment_pipe)
     devices = jax.devices()[:num_devices] if num_devices else None
+    g_reg_interval = int(density_reg_every) if density_reg > 0 else None
     step = TrainStep(
         loss_obj,
-        make_optimizer(glr, 0.0, 0.99, 1e-8, reg_interval=4),
+        make_optimizer(glr, 0.0, 0.99, 1e-8, reg_interval=g_reg_interval),
         make_optimizer(dlr, 0.0, 0.99, 1e-8, reg_interval=16),
         mesh=data_parallel_mesh(devices))
 
     config = dict(outdir=outdir, data=data_path, batch=batch_size,
                   gamma=r1_gamma, kimg=total_kimg, glr=glr, dlr=dlr,
+                  aug=aug, ada_target=ada_target, aug_p=aug_p,
+                  freezed=freezed, mirror=mirror,
+                  metrics=parse_metric_list(metrics),
+                  style_mixing_prob=style_mixing_prob, reg_type=reg_type,
                   G_kwargs=dict(z_dim=512, c_dim=25, w_dim=512,
                                 img_resolution=resolution, img_channels=3,
                                 channel_base=channel_base,
@@ -135,16 +217,24 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         print(json.dumps(config, indent=2, default=str))
         return
 
-    dataset = ImageFolderDataset(data_path, resolution=resolution)
+    dataset = ImageFolderDataset(data_path, resolution=resolution,
+                                 xflip=mirror)
     dataset.prebake()
     it = make_data_iterator(dataset, batch_size,
                             rank=jax.process_index(),
-                            num_replicas=jax.process_count(), seed=seed)
+                            num_replicas=jax.process_count(), seed=seed,
+                            prefetch=workers)
     training_loop(G, D, loss_obj, step, it, run_dir=outdir,
                   total_kimg=total_kimg, batch_size=batch_size,
-                  ema_kimg=batch_size * 10 / 32,
+                  ema_kimg=batch_size * 10 / 32, ema_rampup=ema_rampup,
+                  g_reg_interval=g_reg_interval,
                   kimg_per_tick=kimg_per_tick, snapshot_ticks=snapshot_ticks,
-                  resume_path=resume_path, seed=seed, config=config)
+                  resume_path=resume_path, seed=seed, config=config,
+                  dataset=dataset,
+                  ada_target=ada_target if aug == 'ada' else None,
+                  augment_p=aug_p if aug == 'fixed' else 0.0,
+                  ada_kimg=ada_kimg,
+                  metrics=parse_metric_list(metrics))
 
 
 if __name__ == '__main__':

@@ -180,6 +180,19 @@ class ImageFolderDataset:
     def get_label_std(self):
         return self._load_labels().std(0)
 
+    def sample_conditioning(self, rnd, n):
+        """Draw n (label, verts) pairs uniformly from the FULL dataset —
+        the generator-conditioning distribution the reference samples with
+        np.random.randint over the whole training set
+        (training_loop.py:324-333), NOT a permutation of the current batch.
+
+        rnd: np.random.RandomState (host-side; conditioning draws are not
+        part of the jitted step in the reference either)."""
+        idx = rnd.randint(len(self), size=n)
+        c = np.stack([self.get_label(int(i)) for i in idx])
+        v = np.stack([self._get_verts(self._raw_idx[int(i)]) for i in idx])
+        return c.astype(np.float32), v.astype(np.float32)
+
     def __getitem__(self, idx):
         raw_idx = self._raw_idx[idx]
         img = self._load_image(raw_idx)
@@ -225,10 +238,8 @@ class InfiniteSampler:
             idx += 1
 
 
-def make_data_iterator(dataset, batch_size_per_host, rank=0, num_replicas=1,
-                       seed=0, to_float=True):
-    """Yield host batches: dict(img (B,C,H,W) float [-1,1]-scaled later by the
-    loop, c (B,25[+50]), v (B,5091,3))."""
+def _batch_iterator(dataset, batch_size_per_host, rank, num_replicas, seed,
+                    to_float):
     sampler = iter(InfiniteSampler(len(dataset), rank=rank,
                                    num_replicas=num_replicas, seed=seed))
     while True:
@@ -245,3 +256,55 @@ def make_data_iterator(dataset, batch_size_per_host, rank=0, num_replicas=1,
         yield {'image': img,
                'c': np.stack(labels).astype(np.float32),
                'v': np.stack(verts).astype(np.float32)}
+
+
+class PrefetchIterator:
+    """Background-thread batch prefetch (replaces the reference's
+    DataLoader(num_workers=3, prefetch_factor=2), training_loop.py:148-150).
+
+    The producer thread decodes images and assembles host batches ahead of
+    the training loop so the accelerator never waits on PIL. ``depth`` is
+    the queue capacity. close() (also on GC) stops the thread."""
+
+    def __init__(self, it, depth=3):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def run():
+            for item in it:
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+
+    def __del__(self):
+        self.close()
+
+
+def make_data_iterator(dataset, batch_size_per_host, rank=0, num_replicas=1,
+                       seed=0, to_float=True, prefetch=3):
+    """Yield host batches: dict(img (B,C,H,W) float [-1,1], c (B,25[+50]),
+    v (B,5091,3)). prefetch>0 runs batch assembly on a background thread."""
+    it = _batch_iterator(dataset, batch_size_per_host, rank, num_replicas,
+                         seed, to_float)
+    if prefetch and prefetch > 0:
+        return PrefetchIterator(it, depth=prefetch)
+    return it

@@ -67,6 +67,14 @@ class DiscriminatorBlock:
             params['skip'] = self.skip.init(keys[3])
         return params
 
+    def frozen_subnames(self):
+        """Conv names frozen by freeze_layers (reference freeze_layers
+        gating, networks_stylegan2.py:699-703: trainable params are simply
+        not registered; here the optimizer masks their gradients)."""
+        return [name for name in ('fromrgb', 'conv0', 'conv1', 'skip')
+                if getattr(self, name, None) is not None
+                and not getattr(self, name).trainable]
+
     def __call__(self, params, x, img, force_fp32=True):
         dtype = jnp.bfloat16 if (self.use_fp16 and not force_fp32) else jnp.float32
         if x is not None:
@@ -215,6 +223,11 @@ class Discriminator:
         if self.c_dim > 0:
             cmap = self.mapping(params['mapping'], None, c)
         return self.b4(params['b4'], x, img, cmap)
+
+    def frozen_paths(self):
+        """Param-path prefixes frozen by block freeze_layers."""
+        return [(f'b{res}', name) for res in self.block_resolutions
+                for name in self.blocks[res].frozen_subnames()]
 
 
 def filtered_resizing(image_orig_tensor, size, f, filter_mode='antialiased'):
@@ -388,3 +401,20 @@ class SingleDiscriminator:
             c = c + jax.random.normal(rng, c.shape, c.dtype) * \
                 jnp.std(c, axis=0) * self.disc_c_noise
         return self.disc(params, x, c, force_fp32=force_fp32)
+
+
+def _delegate_frozen_paths(self):
+    """freeze_layers passthrough for wrappers holding one inner
+    Discriminator."""
+    return self.disc.frozen_paths()
+
+
+def _blocks_frozen_paths(self):
+    """freeze_layers for discriminators that own their blocks directly."""
+    return [(f'b{res}', name) for res in self.block_resolutions
+            for name in self.blocks[res].frozen_subnames()]
+
+
+for _cls in (DualDiscriminator, DummyDualDiscriminator, SingleDiscriminator):
+    _cls.frozen_paths = _delegate_frozen_paths
+DualLabelDualDiscriminator.frozen_paths = _blocks_frozen_paths

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..nn.discriminator import filtered_resizing
 from ..ops import filter2d, setup_filter
+from ..ops.interpolate import interpolate_bilinear
 
 
 @dataclass
@@ -78,12 +79,20 @@ def gaussian_blur_dynamic(img, blur_sigma, max_size):
 
 
 class StyleGAN2Loss:
-    """Phase losses. G and D are the module objects; params are pytrees."""
+    """Phase losses. G and D are the module objects; params are pytrees.
 
-    def __init__(self, G, D, cfg: LossConfig):
+    ``augment_pipe`` (optional AugmentPipe) is applied inside run_D exactly
+    like the reference (loss.py:81-86): image and bilinearly-upsampled
+    image_raw are concatenated so both receive the SAME augmentation draw,
+    then raw is resized back down. The augmentation probability ``p`` rides
+    the sched dict as the traced scalar ``aug_p`` so ADA adaptation never
+    recompiles."""
+
+    def __init__(self, G, D, cfg: LossConfig, augment_pipe=None):
         self.G = G
         self.D = D
         self.cfg = cfg
+        self.augment_pipe = augment_pipe
         self.resample_filter = setup_filter([1, 3, 3, 1])
         self.blur_max_size = int(np.floor(cfg.blur_init_sigma * 3))
 
@@ -126,7 +135,8 @@ class StyleGAN2Loss:
             nrr = cfg.neural_rendering_resolution_initial
         return (dict(blur_sigma=float(blur_sigma),
                      swapping_prob=-1.0 if swapping_prob is None
-                     else float(swapping_prob)), int(nrr))
+                     else float(swapping_prob),
+                     aug_p=0.0), int(nrr))
 
     # --------------------------------------------------------------- helpers
     def _swap_conditioning(self, rng, c, swapping_prob, per_sample=True):
@@ -140,17 +150,35 @@ class StyleGAN2Loss:
         swapped = jnp.where(u < swapping_prob, c_swapped, c)
         return jnp.where(swapping_prob < 0, jnp.zeros_like(c), swapped)
 
+    def _style_mixing(self, params_G, ws, z, c, rng):
+        """ws[:, cutoff:] replaced by a fresh mapping draw with probability
+        style_mixing_prob (reference loss.py:64-70; the fresh z is randn,
+        the conditioning is the RAW c — not the swapped one)."""
+        k_cut, k_gate, k_z2 = jax.random.split(rng, 3)
+        num_ws = ws.shape[1]
+        cutoff = jax.random.randint(k_cut, (), 1, num_ws)
+        cutoff = jnp.where(
+            jax.random.uniform(k_gate, ()) < self.cfg.style_mixing_prob,
+            cutoff, num_ws)
+        z2 = jax.random.normal(k_z2, z.shape, jnp.float32)
+        ws2 = self.G.mapping(params_G, z2, c)
+        sel = jnp.arange(num_ws)[None, :, None] >= cutoff
+        return jnp.where(sel, ws2, ws)
+
     def run_G(self, params_G, z, c, v, rng, swapping_prob, nrr):
         # nrr must be a python int (static)
-        k_swap, k_syn = jax.random.split(rng)
+        k_swap, k_mix, k_syn = jax.random.split(rng, 3)
         c_cond = self._swap_conditioning(k_swap, c, swapping_prob)
         ws, w_mean = self.G.mapping(params_G, z, c_cond, return_w_mean=True)
+        if self.cfg.style_mixing_prob > 0:
+            ws = self._style_mixing(params_G, ws, z, c, k_mix)
         out = self.G.synthesis(params_G, ws, c, v,
                                neural_rendering_resolution=nrr,
                                noise_mode='random', rng=k_syn)
         return out, ws, w_mean
 
-    def run_D(self, params_D, img, c, rng, blur_sigma):
+    def run_D(self, params_D, img, c, rng, sched):
+        blur_sigma = sched['blur_sigma']
         image = img['image']
         if self.blur_max_size > 0:
             image = jax.lax.cond(
@@ -158,7 +186,19 @@ class StyleGAN2Loss:
                 lambda x: gaussian_blur_dynamic(x, blur_sigma,
                                                 self.blur_max_size),
                 lambda x: x, image)
-        img = {'image': image, 'image_raw': img['image_raw']}
+        raw = img['image_raw']
+        if self.augment_pipe is not None:
+            # one augmentation draw applied to image + upsampled raw
+            # (reference loss.py:81-86)
+            rng, k_aug = jax.random.split(rng)
+            C = image.shape[1]
+            up = interpolate_bilinear(raw, image.shape[-1], antialias=True)
+            pair = self.augment_pipe(k_aug, jnp.concatenate([image, up], 1),
+                                     sched['aug_p'])
+            image = pair[:, :C]
+            raw = interpolate_bilinear(pair[:, C:], raw.shape[-1],
+                                       antialias=True)
+        img = {'image': image, 'image_raw': raw}
         T = self.cfg.num_frames
         if T > 1:
             # fold clip frames into channels (reference loss.py:88-94)
@@ -186,34 +226,84 @@ class StyleGAN2Loss:
                                           batch['gen_c'], batch['gen_v'], k_g,
                                           sched['swapping_prob'], nrr)
         gen_logits = self.run_D(params_D, gen_img, batch['gen_c'], k_d,
-                                sched['blur_sigma'])
+                                sched)
         loss = jnp.mean(jax.nn.softplus(-gen_logits))
         stats = {'Loss/scores/fake': jnp.mean(gen_logits),
                  'Loss/signs/fake': jnp.mean(jnp.sign(gen_logits)),
                  'Loss/G/loss': loss}
         return loss, (stats, w_mean)
 
-    def greg_loss(self, params_G, batch, rng, sched):
-        """L1 density regularization (reference :149-170)."""
-        cfg = self.cfg
-        assert cfg.reg_type == 'l1', 'only the default l1 reg is implemented'
-        k_swap, k_c, k_p, k_syn = jax.random.split(rng, 4)
-        c = batch['gen_c']
-        # NOTE: Greg uses a single batch-wide swap draw (reference :152)
-        c_cond = self._swap_conditioning(k_swap, c, sched['swapping_prob'],
+    def _mapped_ws(self, params_G, batch, rng, sched):
+        """Fresh mapping with a batch-wide swap draw (reference :150-156).
+
+        NOTE: the reference's Greg style-mixing branches reference undefined
+        ``z``/``c`` (loss.py:161 — latent bug, unreachable at the default
+        style_mixing_prob=0); mixing is therefore deliberately not applied
+        in Greg here."""
+        k_swap = rng
+        c_cond = self._swap_conditioning(k_swap, batch['gen_c'],
+                                         sched['swapping_prob'],
                                          per_sample=False)
-        ws = self.G.mapping(params_G, batch['gen_z'], c_cond)
-        initial = jax.random.uniform(k_c, (ws.shape[0], 1000, 3)) * 2 - 1
-        perturbed = initial + jax.random.normal(k_p, initial.shape) * \
-            cfg.density_reg_p_dist
+        return self.G.mapping(params_G, batch['gen_z'], c_cond)
+
+    def _sigma_pair(self, params_G, ws, gen_v, initial, perturbed, rng):
         all_coords = jnp.concatenate([initial, perturbed], axis=1)
-        dirs = jax.random.normal(jax.random.fold_in(k_p, 1), all_coords.shape)
-        sigma = self.G.sample_mixed(params_G, all_coords, dirs, ws,
-                                    batch['gen_v'], noise_mode='random',
-                                    rng=k_syn)['sigma']
+        dirs = jax.random.normal(jax.random.fold_in(rng, 1), all_coords.shape)
+        sigma = self.G.sample_mixed(params_G, all_coords, dirs, ws, gen_v,
+                                    noise_mode='random', rng=rng)['sigma']
         half = sigma.shape[1] // 2
-        loss = jnp.mean(jnp.abs(sigma[:, :half] - sigma[:, half:])) * \
-            cfg.density_reg
+        return sigma[:, :half], sigma[:, half:]
+
+    def greg_loss(self, params_G, batch, rng, sched):
+        """Density regularization (reference :149-258).
+
+        reg_type:
+          'l1'                — L1(sigma, sigma at randn-perturbed coords)
+                                (reference :149-170, the released config)
+          'monotonic-detach'  — relu(stop_grad(sigma_front) - sigma_behind)
+                                + a second L1 pass at (1/256)*box_warp noise
+                                (reference :173-214)
+          'monotonic-fixed'   — same without the stop_gradient (:216-258)
+        The reference runs the monotonic and L1 parts as two separate
+        backward passes; summing the losses yields identical gradients.
+        (Its 'monotonic-detach' second pass also drops gen_v —
+        loss.py:209, a latent TypeError; gen_v is passed here.)"""
+        cfg = self.cfg
+        k_swap, k_c, k_p, k_syn = jax.random.split(rng, 4)
+        ws = self._mapped_ws(params_G, batch, k_swap, sched)
+
+        if cfg.reg_type == 'l1':
+            initial = jax.random.uniform(k_c, (ws.shape[0], 1000, 3)) * 2 - 1
+            perturbed = initial + jax.random.normal(k_p, initial.shape) * \
+                cfg.density_reg_p_dist
+            s0, s1 = self._sigma_pair(params_G, ws, batch['gen_v'], initial,
+                                      perturbed, k_syn)
+            loss = jnp.mean(jnp.abs(s0 - s1)) * cfg.density_reg
+            return loss, ({'Loss/G/reg': loss},)
+
+        assert cfg.reg_type in ('monotonic-detach', 'monotonic-fixed'), \
+            cfg.reg_type
+        # part 1: density must not increase moving behind the surface
+        initial = jax.random.uniform(k_c, (ws.shape[0], 2000, 3)) * 2 - 1
+        behind = initial + jnp.asarray([0., 0., -1.]) * \
+            (1 / 256) * cfg.box_warp
+        s_front, s_behind = self._sigma_pair(params_G, ws, batch['gen_v'],
+                                             initial, behind, k_syn)
+        if cfg.reg_type == 'monotonic-detach':
+            s_front = jax.lax.stop_gradient(s_front)
+        monotonic = jnp.mean(jax.nn.relu(s_front - s_behind)) * 10
+
+        # part 2: L1 smoothness at (1/256)*box_warp noise, fresh draws
+        k_swap2, k_c2, k_p2, k_syn2 = jax.random.split(
+            jax.random.fold_in(rng, 2), 4)
+        ws2 = self._mapped_ws(params_G, batch, k_swap2, sched)
+        initial2 = jax.random.uniform(k_c2, (ws.shape[0], 1000, 3)) * 2 - 1
+        perturbed2 = initial2 + jax.random.normal(k_p2, initial2.shape) * \
+            (1 / 256) * cfg.box_warp
+        s0, s1 = self._sigma_pair(params_G, ws2, batch['gen_v'], initial2,
+                                  perturbed2, k_syn2)
+        tv = jnp.mean(jnp.abs(s0 - s1)) * cfg.density_reg
+        loss = monotonic + tv
         return loss, ({'Loss/G/reg': loss},)
 
     def dmain_loss(self, params_D, params_G, batch, real_img, rng, sched, nrr):
@@ -223,10 +313,10 @@ class StyleGAN2Loss:
                                           sched['swapping_prob'], nrr)
         gen_img = jax.tree.map(jax.lax.stop_gradient, gen_img)
         gen_logits = self.run_D(params_D, gen_img, batch['gen_c'], k_dg,
-                                sched['blur_sigma'])
+                                sched)
         loss_dgen = jnp.mean(jax.nn.softplus(gen_logits))
         real_logits = self.run_D(params_D, real_img, batch['real_c'], k_dr,
-                                 sched['blur_sigma'])
+                                 sched)
         loss_dreal = jnp.mean(jax.nn.softplus(-real_logits))
         stats = {'Loss/scores/fake': jnp.mean(gen_logits),
                  'Loss/signs/fake': jnp.mean(jnp.sign(gen_logits)),
@@ -241,7 +331,7 @@ class StyleGAN2Loss:
         def real_logit_sum(image, image_raw):
             logits = self.run_D(params_D,
                                 {'image': image, 'image_raw': image_raw},
-                                batch['real_c'], rng, sched['blur_sigma'])
+                                batch['real_c'], rng, sched)
             return jnp.sum(logits)
 
         if self.cfg.dual_discrimination:

@@ -37,16 +37,24 @@ NON_TRAINABLE_LEAVES = ('w_avg', 'noise_const', 'orth_scale', 'orth_shift')
 W_AVG_BETA = 0.998  # reference networks_stylegan2.py:204
 
 
-def trainable_mask(params):
+def trainable_mask(params, frozen_paths=()):
     """Pytree of bools: False for buffers the reference never trains
     (w_avg EMA, per-layer noise_const; orth_scale/orth_shift are plain
-    tensors in the reference — never Parameters — so they never update)."""
+    tensors in the reference — never Parameters — so they never update).
+
+    frozen_paths: path-prefix tuples (e.g. ('b512', 'conv0')) whose whole
+    subtree is frozen — the D freeze_layers mechanism (reference
+    networks_stylegan2.py:699-703 + train CLI --freezed)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
+    frozen = [tuple(fp) for fp in frozen_paths]
     mask = []
     for path, _ in flat:
-        name = path[-1].key if hasattr(path[-1], 'key') else str(path[-1])
-        mask.append(name not in NON_TRAINABLE_LEAVES)
+        names = tuple(p.key if hasattr(p, 'key') else str(p) for p in path)
+        ok = names[-1] not in NON_TRAINABLE_LEAVES
+        if ok and frozen:
+            ok = not any(names[:len(fp)] == fp for fp in frozen)
+        mask.append(ok)
     return jax.tree_util.tree_unflatten(treedef, mask)
 
 
@@ -98,7 +106,7 @@ class TrainStep:
         params_G = self.loss.G.init(kG)
         params_D = self.loss.D.init(kD)
         self._gmask = trainable_mask(params_G)
-        self._dmask = trainable_mask(params_D)
+        self._dmask = trainable_mask(params_D, self._d_frozen_paths())
         return TrainState(
             params_G=params_G,
             params_D=params_D,
@@ -110,8 +118,13 @@ class TrainStep:
     def masks_for(self, state: TrainState):
         if self._gmask is None:
             self._gmask = trainable_mask(state.params_G)
-            self._dmask = trainable_mask(state.params_D)
+            self._dmask = trainable_mask(state.params_D,
+                                         self._d_frozen_paths())
         return self._gmask, self._dmask
+
+    def _d_frozen_paths(self):
+        fn = getattr(self.loss.D, 'frozen_paths', None)
+        return fn() if fn is not None else ()
 
     # ------------------------------------------------------------- SPMD glue
     def _spmd_grads(self, local_fn, arg_specs):
@@ -232,26 +245,50 @@ class TrainStep:
     # ------------------------------------------------------------- full step
     def run_phases(self, state: TrainState, batch, real_img, rng, sched, nrr,
                    do_greg: bool, do_dreg: bool, g_reg_interval=4,
-                   d_reg_interval=16, ema_beta=0.999):
+                   d_reg_interval=16, ema_beta=0.999, timer=None):
         """Host-side phase sequencing for one global batch (mirrors
-        training_loop.py:335-384). Returns (new_state, stats dict)."""
+        training_loop.py:335-384). Returns (new_state, stats dict).
+
+        ``timer``: optional PhaseTimer; each phase is timed with a
+        block_until_ready on its outputs (the reference's Timing/<phase>
+        CUDA-event stats, training_loop.py:264-269). Blocking serializes
+        dispatch, so callers pass a timer only on sampled batches."""
         self.masks_for(state)
         stats = {}
         k = jax.random.split(rng, 4)
 
-        pg, og, s = self.gmain(state.params_G, state.opt_state_G,
-                               state.params_D, batch, k[0], sched, nrr)
+        import contextlib
+
+        def phase(name, out=None):
+            if timer is None:
+                return contextlib.nullcontext()
+            return timer.phase(name, block_on=out)
+
+        with phase('Gmain') as _:
+            pg, og, s = self.gmain(state.params_G, state.opt_state_G,
+                                   state.params_D, batch, k[0], sched, nrr)
+            if timer is not None:
+                jax.block_until_ready(s)
         stats.update(s)
         if do_greg:
-            pg, og, s = self.greg(pg, og, batch, k[1], float(g_reg_interval),
-                                  sched)
+            with phase('Greg'):
+                pg, og, s = self.greg(pg, og, batch, k[1],
+                                      float(g_reg_interval), sched)
+                if timer is not None:
+                    jax.block_until_ready(s)
             stats.update(s)
-        pd, od, pg, s = self.dmain(state.params_D, state.opt_state_D, pg,
-                                   batch, real_img, k[2], sched, nrr)
+        with phase('Dmain'):
+            pd, od, pg, s = self.dmain(state.params_D, state.opt_state_D, pg,
+                                       batch, real_img, k[2], sched, nrr)
+            if timer is not None:
+                jax.block_until_ready(s)
         stats.update(s)
         if do_dreg:
-            pd, od, s = self.dreg(pd, od, batch, real_img,
-                                  float(d_reg_interval), k[3], sched, nrr)
+            with phase('Dreg'):
+                pd, od, s = self.dreg(pd, od, batch, real_img,
+                                      float(d_reg_interval), k[3], sched, nrr)
+                if timer is not None:
+                    jax.block_until_ready(s)
             stats.update(s)
         ema = self.ema_update(state.params_G_ema, pg, ema_beta)
         return TrainState(params_G=pg, params_D=pd, params_G_ema=ema,

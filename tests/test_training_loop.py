@@ -64,9 +64,11 @@ def test_training_loop_runs_and_resumes(toy_face_dataset, tmp_path):
                           rasterizer_patch=12, rasterizer_face_chunk=9976)
     D = DualDiscriminator(c_dim=25, img_resolution=128, img_channels=3,
                           channel_base=512, channel_max=32)
+    from next3d_tpu.train.augment import AugmentPipe
     loss = StyleGAN2Loss(G, D, LossConfig(
         r1_gamma=1.0, gpc_reg_prob=None, density_reg=0.25,
-        neural_rendering_resolution_initial=32))
+        neural_rendering_resolution_initial=32),
+        augment_pipe=AugmentPipe(xint=1, brightness=1))
     step = TrainStep(loss,
                      make_optimizer(0.0025, 0.0, 0.99, 1e-8, reg_interval=4),
                      make_optimizer(0.002, 0.0, 0.99, 1e-8, reg_interval=16),
@@ -90,18 +92,29 @@ def test_training_loop_runs_and_resumes(toy_face_dataset, tmp_path):
                           total_kimg=24 / 1000, batch_size=8,
                           kimg_per_tick=8 / 1000, snapshot_ticks=1,
                           image_snapshot_ticks=None, seed=0,
-                          config={'G_kwargs': {}})
+                          config={'G_kwargs': {}},
+                          dataset=ds, ada_target=-2.0, ada_interval=1,
+                          ada_kimg=0.001, timing_sample_every=1)
     assert state.cur_nimg == 24
     snaps = sorted(f for f in os.listdir(run_dir) if f.endswith('.pkl'))
     assert snaps, os.listdir(run_dir)
     stats = [json.loads(l) for l in open(os.path.join(run_dir, 'stats.jsonl'))]
     assert stats and 'Loss/G/loss' in stats[-1]
     assert np.isfinite(stats[-1]['Loss/G/loss'])
+    # round-2 observability: per-phase timing + data fetch + ADA progress
+    assert 'Timing/Gmain' in stats[-1] and stats[-1]['Timing/Gmain'] > 0
+    assert 'Timing/data_fetch' in stats[-1]
+    assert 'Progress/augment' in stats[-1]
+    # target -2 < min possible sign mean (-1) forces sign(signs - target)
+    # = +1 STRICTLY (at -1 a degenerate all-negative-logit D gives
+    # sign(0) = 0 and p never moves): p must have grown
+    assert stats[-1]['Progress/augment'] > 0.0
 
     # exact resume restores cur_nimg and params
     snap = load_snapshot(os.path.join(run_dir, snaps[-1]))
     assert snap['cur_nimg'] == 24
     assert snap['opt_state_G'] is not None
+    assert 'ada_p' in (snap.get('extra') or {})
     w_saved = snap['params_G']['texture_backbone']['synthesis']['b4']['conv1']['weight']
     w_live = np.asarray(state.params_G['texture_backbone']['synthesis']['b4']['conv1']['weight'])
     np.testing.assert_array_equal(np.asarray(w_saved), w_live)
