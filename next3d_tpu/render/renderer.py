@@ -185,16 +185,24 @@ def sample_importance(rng, z_vals, weights, N_importance):
 
 
 def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
-    """Concat + sort-by-depth merge (reference :164-182)."""
-    all_depths = jnp.concatenate([depths1, depths2], axis=-2)
+    """Concat + sort-by-depth merge (reference :164-182).
+
+    Implemented as ONE multi-operand stable ``lax.sort`` keyed on depth
+    (channels ride along as extra operands) instead of argsort +
+    take_along_axis: the broadcast gather of the (N, R, 2S, C) color tensor
+    lowers to a ~66x slower generic TPU gather (917 ms -> 13.9 ms for the
+    batch-4 FFHQ render merge on v5e, bit-exact — tools/profile_unify.py).
+    Stability matches jnp.argsort's default, so tie order is identical.
+    """
+    all_depths = jnp.concatenate([depths1, depths2], axis=-2)[..., 0]
     all_colors = jnp.concatenate([colors1, colors2], axis=-2)
-    all_densities = jnp.concatenate([densities1, densities2], axis=-2)
-    indices = jnp.argsort(all_depths, axis=-2)
-    all_depths = jnp.take_along_axis(all_depths, indices, axis=-2)
-    all_colors = jnp.take_along_axis(
-        all_colors, jnp.broadcast_to(indices, all_colors.shape), axis=-2)
-    all_densities = jnp.take_along_axis(all_densities, indices, axis=-2)
-    return all_depths, all_colors, all_densities
+    all_densities = jnp.concatenate([densities1, densities2], axis=-2)[..., 0]
+    C = all_colors.shape[-1]
+    ops = [all_depths] + [all_colors[..., i] for i in range(C)] \
+        + [all_densities]
+    res = jax.lax.sort(ops, dimension=-1, num_keys=1)
+    return (res[0][..., None], jnp.stack(res[1:1 + C], axis=-1),
+            res[-1][..., None])
 
 
 class ImportanceRenderer:
