@@ -46,6 +46,18 @@ def import_reference():
                           ("pytorch3d.renderer", renderer_mod),
                           ("pytorch3d.renderer.mesh", mesh_mod)]:
             sys.modules[name] = mod
+    # torchvision isn't installed; the reference only imports save_image
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_utils = types.ModuleType("torchvision.utils")
+
+        def _save_image_unavailable(*a, **k):
+            raise RuntimeError("torchvision is stubbed in tests")
+
+        tv_utils.save_image = _save_image_unavailable
+        tv.utils = tv_utils
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv_utils
     if REF not in sys.path:
         sys.path.insert(0, REF)
 
