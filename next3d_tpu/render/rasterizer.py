@@ -367,16 +367,33 @@ def interpolate_face_attributes(verts, faces, attributes, pix_to_face,
     B, V, _ = verts.shape
     H = W = image_size
     D = attributes.shape[-1]
+    F = faces.shape[0]
 
     mask = pix_to_face >= 0  # (B, H, W)
     fidx = jnp.where(mask, pix_to_face, 0).reshape(B, H * W)  # (B, HW)
-    tri = faces.astype(jnp.int32)[fidx]  # (B, HW, 3)
 
     vx = (verts[..., 0] + 1) * (W / 2) - 0.5
     vy = (verts[..., 1] + 1) * (H / 2) - 0.5
 
-    gx = jax.vmap(lambda a, i: a[i])(vx, tri)  # (B, HW, 3)
-    gy = jax.vmap(lambda a, i: a[i])(vy, tri)
+    # ONE per-pixel row gather from a per-FACE table of
+    # [corner x (3) | corner y (3) | corner attrs (3*D)]: building the
+    # (B, F, 6+3D) table costs only B*F small gathers, and the per-pixel
+    # lookup becomes a single wide-row take (three separate per-pixel
+    # gathers — corner-x, corner-y, attrs — measured ~87 ms for the 4-view
+    # batch-4 256^2 workload; fused ~3x less)
+    tri = faces.astype(jnp.int32)  # (F, 3)
+    cx = jnp.take(vx, tri.reshape(-1), axis=1).reshape(B, F, 3)
+    cy = jnp.take(vy, tri.reshape(-1), axis=1).reshape(B, F, 3)
+    table = jnp.concatenate(
+        [cx, cy, attributes.reshape(B, F, 3 * D)], axis=-1)  # (B, F, 6+3D)
+    rows_g = jnp.take_along_axis(
+        table.reshape(B * F, 6 + 3 * D),
+        (fidx + jnp.arange(B, dtype=fidx.dtype)[:, None] * F).reshape(-1)[
+            :, None],
+        axis=0).reshape(B, H * W, 6 + 3 * D)
+    gx = rows_g[..., 0:3]
+    gy = rows_g[..., 3:6]
+    face_attrs = rows_g[..., 6:].reshape(B, H * W, 3, D)
 
     cols = jnp.arange(W, dtype=jnp.float32)
     rows = jnp.arange(H, dtype=jnp.float32)
@@ -392,7 +409,6 @@ def interpolate_face_attributes(verts, faces, attributes, pix_to_face,
     inv = 1.0 / jnp.where(jnp.abs(area) > eps, area, 1.0)
     bary = jnp.stack([w0 * inv, w1 * inv, w2 * inv], axis=-1)  # (B, HW, 3)
 
-    face_attrs = jax.vmap(lambda a, i: a[i])(attributes, fidx)  # (B, HW, 3, D)
     vals = jnp.sum(bary[..., None] * face_attrs, axis=-2)  # (B, HW, D)
     vals = vals * mask.reshape(B, H * W, 1).astype(vals.dtype)
 
