@@ -91,7 +91,7 @@ class FullyConnected:
     """Equalized-lr linear (reference: networks_stylegan2.py:96-130)."""
 
     def __init__(self, in_features, out_features, bias=True, activation='linear',
-                 lr_multiplier=1, bias_init=0):
+                 lr_multiplier=1, bias_init=0, weight_init=1):
         self.in_features = in_features
         self.out_features = out_features
         self.use_bias = bias
@@ -99,15 +99,19 @@ class FullyConnected:
         self.weight_gain = lr_multiplier / math.sqrt(in_features)
         self.bias_gain = lr_multiplier
         self.lr_multiplier = lr_multiplier
-        self.bias_init = bias_init
+        self.bias_init = bias_init  # scalar or per-feature sequence (SG3)
+        self.weight_init = weight_init
 
     def init(self, key):
+        import numpy as np
         wkey, _ = jax.random.split(key)
         params = {'weight': jax.random.normal(wkey, (self.out_features, self.in_features),
-                                              jnp.float32) / self.lr_multiplier}
+                                              jnp.float32)
+                  * (self.weight_init / self.lr_multiplier)}
         if self.use_bias:
-            params['bias'] = jnp.full((self.out_features,), float(self.bias_init),
-                                      jnp.float32)
+            b = np.broadcast_to(np.asarray(self.bias_init, np.float32),
+                                (self.out_features,))
+            params['bias'] = jnp.asarray(b / self.lr_multiplier)
         return params
 
     def __call__(self, params, x):

@@ -16,25 +16,22 @@ import math
 import jax.numpy as jnp
 
 from .bias_act import bias_act
-from .upfirdn2d import _parse_padding, get_filter_size, upfirdn2d
+from .upfirdn2d import _parse_padding, upfirdn2d
 
 
 def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
                    gain=math.sqrt(2), slope=0.2, clamp=None,
                    flip_filter=False):
-    """x: (N, C, H, W); fu/fd: FIR filters from setup_filter."""
-    fu_w, fu_h = get_filter_size(fu)
-    fd_w, fd_h = get_filter_size(fd)
-    px0, px1, py0, py1 = _parse_padding(padding)
-    px0 += (fu_w + up - 1) // 2
-    px1 += (fu_w - up) // 2
-    py0 += (fu_h + up - 1) // 2
-    py1 += (fu_h - up) // 2
-    px0 += (fd_w - down + 1) // 2
-    px1 += (fd_w - down) // 2
-    py0 += (fd_h - down + 1) // 2
-    py1 += (fd_h - down) // 2
+    """x: (N, C, H, W); fu/fd: FIR filters from setup_filter.
 
+    ``padding`` is passed through to the upsampling pass VERBATIM
+    (reference _filtered_lrelu_ref, filtered_lrelu.py:135-150): SG3 layers
+    pre-compute the exact (often negative) padding that accounts for both
+    filters' supports, so this op must NOT add its own filter-size
+    adjustment. Output size:
+    (in*up + px0+px1 - (fu-1) - (fd-1) + (down-1)) // down.
+    """
+    px0, px1, py0, py1 = _parse_padding(padding)
     x = bias_act(x, b)
     x = upfirdn2d(x, fu, up=up, padding=[px0, px1, py0, py1],
                   gain=up ** 2, flip_filter=flip_filter)

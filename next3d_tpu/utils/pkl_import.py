@@ -24,7 +24,7 @@ import numpy as np
 
 # buffers that are deterministic functions of config and therefore static in
 # our modules (never parameters)
-_STATIC_BUFFERS = ('resample_filter',)
+_STATIC_BUFFERS = ('resample_filter', 'up_filter', 'down_filter')
 
 
 def state_dict_to_params(state_dict: Dict[str, np.ndarray],
