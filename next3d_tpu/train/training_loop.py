@@ -123,6 +123,10 @@ def training_loop(
 
     stats = StatsCollector()
     stats_jsonl = open(os.path.join(run_dir, 'stats.jsonl'), 'at')
+    # per-tick TensorBoard scalars (reference training_loop.py:510-517);
+    # dependency-free writer, scalars only
+    from ..utils.tensorboard import SummaryWriter
+    tb_writer = SummaryWriter(run_dir)
     if config is not None:
         with open(os.path.join(run_dir, 'training_options.json'), 'wt') as f:
             json.dump(config, f, indent=2, default=str)
@@ -218,6 +222,10 @@ def training_loop(
         record.update(_resource_stats())
         stats_jsonl.write(json.dumps(record) + '\n')
         stats_jsonl.flush()
+        for k, val in record.items():
+            if isinstance(val, (int, float)):
+                tb_writer.add_scalar(k, val, global_step=int(cur_nimg // 1e3))
+        tb_writer.flush()
         stats.reset()
         timer.reset()
         if progress_fn is not None:
@@ -253,6 +261,7 @@ def training_loop(
             break
 
     stats_jsonl.close()
+    tb_writer.close()
     if hasattr(data_iterator, 'close'):
         data_iterator.close()
     return state
