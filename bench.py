@@ -1,17 +1,30 @@
-"""Benchmark: 512^2 avatar synthesis throughput on one TPU chip.
+"""Benchmark: 512^2 avatar synthesis / reenactment throughput on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Measures the flagship TriPlaneGenerator full forward (mapping + texture +
-4-view rasterization + mouth pipeline + volume render 48+48 + SR to 512^2)
-— the generation path behind gen_samples/reenact (BASELINE.json north star).
+Default mode measures the flagship TriPlaneGenerator full forward (mapping +
+texture + 4-view rasterization + mouth pipeline + volume render 48+48 + SR
+to 512^2) — the generation path behind gen_samples (BASELINE.json north
+star). Env knobs:
+
+  NEXT3D_BENCH_MODE=synthesis|reenact   reenact = identity-cached per-frame
+                                        path (textures + static plane cached
+                                        per subject, only rasterize->mouth->
+                                        blend->render->SR per frame — the
+                                        reenact_avatar FPS metric)
+  NEXT3D_BENCH_BATCH=4                  batch size
+  NEXT3D_BENCH_SWEEP=1                  also print (to stderr) a batch sweep
+  NEXT3D_BENCH_BF16=1                   bf16 blocks (0 = full fp32 parity)
+  NEXT3D_BENCH_ITERS=10
 
 vs_baseline: the reference publishes no throughput (BASELINE.md); the A100
-anchor used here is a PROVISIONAL estimate of the reference pipeline at
-batch-amortized inference (~15 img/s on A100 for 512^2 synthesis+reenact,
-to be replaced by an empirical measurement). The north-star target is
-vs_baseline >= 3.0.
+anchor is 15 img/s for batch-amortized 512^2 synthesis — a FLOP-roofline
+estimate of the reference pipeline discounted for its per-frame CPU
+round-trips (cv2 flood fill, numpy mouth boxes, per-sample python loops);
+derivation and error bars in BASELINE.md. North-star target is
+vs_baseline >= 3.0. An MFU estimate (model FLOPs from the compiled graph /
+v5e bf16 peak) goes to stderr alongside the sweep.
 """
 
 import json
@@ -21,24 +34,40 @@ import time
 
 import numpy as np
 
-A100_BASELINE_IMGS_PER_SEC = 15.0  # provisional; see module docstring
+A100_BASELINE_IMGS_PER_SEC = 15.0  # provisional anchor; see BASELINE.md
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _measure(fn, args, batch, iters):
+    import jax
+    img = fn(*args)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        # vary inputs: defeats identical-dispatch caching in remote-TPU
+        # clients and matches real serving (new latents per call)
+        a0 = args[0] + np.float32(i) * 1e-6
+        img = fn(a0, *args[1:])
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
 
 
 def main():
     import jax
     import __graft_entry__ as ge
 
+    mode = os.environ.get('NEXT3D_BENCH_MODE', 'synthesis')
     batch = int(os.environ.get('NEXT3D_BENCH_BATCH', '4'))
     use_bf16 = os.environ.get('NEXT3D_BENCH_BF16', '1') == '1'
+    iters = int(os.environ.get('NEXT3D_BENCH_ITERS', '10'))
+    sweep = os.environ.get('NEXT3D_BENCH_SWEEP', '0') == '1'
 
     from next3d_tpu.models import TriPlaneGenerator
     rk = dict(ge.RENDER_KW_FFHQ)
-    # the XLA take_along_axis sampling path measured FASTER than the fused
-    # Pallas kernel in clean single-job runs (257ms vs 1050ms+ per 1.57M
-    # samples) — the one-hot-matmul formulation burns ~30 TFLOP on what is
-    # fundamentally a gather. Fused stays opt-in for kernel development.
     if os.environ.get('NEXT3D_BENCH_FUSED', '0') == '1':
         rk['fused_plane_sampling'] = True
     G = TriPlaneGenerator(
@@ -47,34 +76,75 @@ def main():
         sr_num_fp16_res=4, force_fp32=not use_bf16)
     params = G.init(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def forward(params, z, c, v):
-        ws = G.mapping(params, z, c, truncation_psi=0.7, truncation_cutoff=14)
-        return G.synthesis(params, ws, c, v, noise_mode='const')['image']
-
     z = np.random.RandomState(0).randn(batch, 512).astype(np.float32)
     c = ge._camera_batch(batch)
     v = ge._verts_batch(batch)
 
-    # compile + warmup
-    img = forward(params, z, c, v)
-    jax.block_until_ready(img)
+    if mode == 'reenact':
+        # identity prep once per subject (the reference recomputes it per
+        # frame — SURVEY section 3.5); per-frame work is everything
+        # expression/camera-dependent
+        @jax.jit
+        def prep(params, z, c):
+            ws = G.mapping(params, z, c, truncation_psi=0.7,
+                           truncation_cutoff=14)
+            n_tex = G.texture_backbone.num_ws
+            textures = G.texture_backbone.synthesis(
+                params['texture_backbone']['synthesis'], ws[:, n_tex:],
+                noise_mode='const', force_fp32=G.force_fp32)
+            static = G.backbone.synthesis(
+                params['backbone']['synthesis'], ws[:, :n_tex],
+                noise_mode='const', force_fp32=G.force_fp32)
+            static = static.reshape(static.shape[0], 3, 32,
+                                    *static.shape[-2:])
+            return ws, textures, static
 
-    iters = int(os.environ.get('NEXT3D_BENCH_ITERS', '10'))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        # vary z per iteration: defeats any identical-dispatch caching in
-        # remote-TPU clients and matches real serving (new latents per call)
-        img = forward(params, z + np.float32(i) * 1e-6, c, v)
-    jax.block_until_ready(img)
-    dt = time.perf_counter() - t0
+        ws, textures, static = jax.block_until_ready(prep(params, z, c))
 
-    imgs_per_sec = batch * iters / dt
+        @jax.jit
+        def frame(v, params, ws, textures, static, c):
+            return G.synthesis_from_identity(
+                params, ws, textures, static, c, v,
+                noise_mode='const')['image']
+
+        value = _measure(lambda v_, *a: frame(v_, *a),
+                         (np.asarray(v, np.float32), params, ws, textures,
+                          static, c), batch, iters)
+        metric = '512px_reenact_frames_per_sec_per_chip'
+    else:
+        @jax.jit
+        def forward(z, params, c, v):
+            ws = G.mapping(params, z, c, truncation_psi=0.7,
+                           truncation_cutoff=14)
+            return G.synthesis(params, ws, c, v, noise_mode='const')['image']
+
+        value = _measure(forward, (z, params, c, v), batch, iters)
+        metric = '512px_synthesis_imgs_per_sec_per_chip'
+
+        try:  # MFU estimate from the compiled graph's FLOP count
+            cost = forward.lower(z, params, c, v).compile().cost_analysis()
+            flops = (cost or {}).get('flops', 0.0)
+            if flops:
+                mfu = flops / batch * value / V5E_BF16_PEAK_FLOPS
+                print(f'model ~{flops / batch / 1e9:.1f} GFLOP/img; '
+                      f'MFU ~{100 * mfu:.1f}% of v5e bf16 peak',
+                      file=sys.stderr)
+        except Exception:
+            pass
+
+        if sweep:
+            for b in (1, 8, 16):
+                zb = np.random.RandomState(1).randn(b, 512).astype(np.float32)
+                r = _measure(forward,
+                             (zb, params, ge._camera_batch(b),
+                              ge._verts_batch(b)), b, max(4, iters // 2))
+                print(f'batch {b:3d}: {r:.3f} img/s', file=sys.stderr)
+
     print(json.dumps({
-        "metric": "512px_synthesis_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 3),
+        "metric": metric,
+        "value": round(value, 3),
         "unit": "img/s",
-        "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(value / A100_BASELINE_IMGS_PER_SEC, 3),
     }))
 
 
