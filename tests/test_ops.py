@@ -297,3 +297,27 @@ def test_paste_resized_region_matches_torch(rng, sy, sx, sz):
                                           jnp.int32(sy), jnp.int32(sx),
                                           jnp.int32(sz), jnp.int32(sz)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_grid_sample_packed_path_matches_small_path(rng):
+    """The 2x2-packed one-gather path (auto-enabled for large sample
+    counts) must equal the per-corner path bit-for-bit in weights/taps,
+    including out-of-image border samples (zeros padding)."""
+    import jax.numpy as jnp
+    from next3d_tpu.ops import grid_sample_2d
+    from next3d_tpu.ops.grid_sample import _grid_sample_packed
+
+    x = rng.randn(2, 5, 9, 7).astype(np.float32)
+    # grid spanning well past the borders
+    grid = (rng.rand(2, 4, 11, 2).astype(np.float32) * 3 - 1.5)
+    small = np.asarray(grid_sample_2d(jnp.asarray(x), jnp.asarray(grid)))
+
+    gx = (grid[..., 0] + 1) * (7 / 2) - 0.5
+    gy = (grid[..., 1] + 1) * (9 / 2) - 0.5
+    x0 = np.floor(gx); y0 = np.floor(gy)
+    packed = np.asarray(_grid_sample_packed(
+        jnp.asarray(x), jnp.asarray(x0.astype(np.int32)),
+        jnp.asarray(y0.astype(np.int32)),
+        jnp.asarray((gx - x0).astype(np.float32)),
+        jnp.asarray((gy - y0).astype(np.float32)), 4, 11))
+    np.testing.assert_allclose(packed, small, rtol=1e-6, atol=1e-6)
