@@ -74,6 +74,30 @@ def is50k(opts):
 
 
 @register_metric
+def eqt50k_int(opts):
+    from .equivariance import compute_equivariance_metrics
+    psnr = compute_equivariance_metrics(opts, num_samples=50000,
+                                        batch_size=4, compute_eqt_int=True)
+    return {'eqt50k_int': psnr}
+
+
+@register_metric
+def eqt50k_frac(opts):
+    from .equivariance import compute_equivariance_metrics
+    psnr = compute_equivariance_metrics(opts, num_samples=50000,
+                                        batch_size=4, compute_eqt_frac=True)
+    return {'eqt50k_frac': psnr}
+
+
+@register_metric
+def eqr50k(opts):
+    from .equivariance import compute_equivariance_metrics
+    psnr = compute_equivariance_metrics(opts, num_samples=50000,
+                                        batch_size=4, compute_eqr=True)
+    return {'eqr50k': psnr}
+
+
+@register_metric
 def ppl2_wend(opts):
     from .perceptual_path_length import compute_ppl
     return {'ppl2_wend': compute_ppl(opts, num_samples=2000, epsilon=1e-4,
