@@ -106,6 +106,12 @@ class _RefUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         if 'persistence' in module and name == '_reconstruct_persistent_obj':
             return _stub_reconstruct
+        if module == 'dnnlib.tflib.network' and name == 'Network':
+            from .legacy import TFNetworkStub
+            return TFNetworkStub
+        # renamed module paths in old snapshots (reference legacy.py:71-72)
+        if 'v13_neural_blending' in module:
+            module = module.replace('v13_neural_blending', 'next3d')
         if module.startswith('dnnlib'):
             from . import easydict
             if name == 'EasyDict':
@@ -114,15 +120,47 @@ class _RefUnpickler(pickle.Unpickler):
         return super().find_class(module, name)
 
 
+class ConvertedTFModule:
+    """TF-network conversion result with the _StubModule interface."""
+
+    def __init__(self, init_kwargs, state_dict):
+        self._init_kwargs = dict(init_kwargs)
+        self._state_dict = dict(state_dict)
+
+    def state_dict(self, prefix=''):
+        return {prefix + k: v for k, v in self._state_dict.items()}
+
+    @property
+    def init_args(self):
+        return ()
+
+    @property
+    def init_kwargs(self):
+        return dict(self._init_kwargs)
+
+
 def load_network_pkl(path):
     """Load a reference snapshot pickle.
 
     Returns a dict like the reference's (legacy.py:24-60): keys typically
     'G', 'D', 'G_ema', 'augment_pipe', 'training_set_kwargs'; module values
     are ``_StubModule`` with ``.state_dict()`` / ``.init_kwargs``.
+    TF-era pickles (a (G, D, Gs) tuple of tflib Networks) are converted via
+    utils/legacy.py, matching reference legacy.py:28-33.
     """
     with open(path, 'rb') as f:
-        return _RefUnpickler(f).load()
+        data = _RefUnpickler(f).load()
+    from .legacy import (convert_tf_discriminator, convert_tf_generator,
+                         is_tf_legacy_data)
+    if is_tf_legacy_data(data):
+        tf_G, tf_D, tf_Gs = data
+        data = {'G': ConvertedTFModule(*convert_tf_generator(tf_G)),
+                'D': ConvertedTFModule(*convert_tf_discriminator(tf_D)),
+                'G_ema': ConvertedTFModule(*convert_tf_generator(tf_Gs))}
+    if isinstance(data, dict):
+        data.setdefault('training_set_kwargs', None)
+        data.setdefault('augment_pipe', None)
+    return data
 
 
 def import_generator_params(pkl_path, key='G_ema'):
