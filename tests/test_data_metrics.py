@@ -108,3 +108,54 @@ def test_fid_with_dummy_detector(toy_dataset, rng):
                 batch_size=4, cond_vert=True, jit=False)
     fid = compute_fid(MetricOptions(**opts), max_real=6, num_gen=8)
     assert np.isfinite(fid) and fid >= 0
+
+
+def test_dataset_tool_transforms_and_zip(tmp_path, rng):
+    """Round-2 dataset_tool surface: center-crop transform, zip output,
+    cifar-10 batch conversion (reference dataset_tool.py:218-327)."""
+    from PIL import Image
+    from next3d_tpu.cli.dataset_tool import convert_dataset, make_transform
+
+    # center-crop: non-square input -> square output
+    img = (rng.rand(20, 30, 3) * 255).astype(np.uint8)
+    out = make_transform('center-crop', 16, 16)(img)
+    assert out.shape == (16, 16, 3)
+    assert make_transform(None, None, None)(img).shape == img.shape
+
+    # folder -> zip with resize
+    src = tmp_path / 'src'
+    (src / 'images').mkdir(parents=True)
+    labels = []
+    for i in range(3):
+        name = f'images/{i:04d}.png'
+        Image.fromarray((rng.rand(24, 24, 3) * 255).astype(np.uint8)) \
+            .save(src / name)
+        labels.append([name, [float(i)] * 25])
+    (src / 'dataset.json').write_text(
+        json.dumps({'labels': labels}))
+    dest = str(tmp_path / 'packed.zip')
+    convert_dataset(str(src), dest, resolution=16)
+    import zipfile
+    with zipfile.ZipFile(dest) as zf:
+        names = zf.namelist()
+        assert 'dataset.json' in names
+        meta = json.loads(zf.read('dataset.json'))
+        assert len(meta['labels']) == 3
+        from io import BytesIO
+        im = Image.open(BytesIO(zf.read(meta['labels'][0][0])))
+        assert im.size == (16, 16)
+
+    # synthetic cifar-10 batch folder
+    import pickle
+    cif = tmp_path / 'cifar'
+    cif.mkdir()
+    batch = {'data': (rng.rand(5, 3072) * 255).astype(np.uint8),
+             'labels': [0, 1, 2, 3, 4]}
+    with open(cif / 'data_batch_1', 'wb') as f:
+        pickle.dump(batch, f)
+    cdest = str(tmp_path / 'cifar_packed.zip')
+    convert_dataset(str(cif), cdest)
+    with zipfile.ZipFile(cdest) as zf:
+        meta = json.loads(zf.read('dataset.json'))
+        assert len(meta['labels']) == 5
+        assert meta['labels'][2][1] == [0, 0, 1, 0, 0, 0, 0, 0, 0, 0]
