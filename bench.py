@@ -61,7 +61,7 @@ def main():
     import __graft_entry__ as ge
 
     mode = os.environ.get('NEXT3D_BENCH_MODE', 'synthesis')
-    batch = int(os.environ.get('NEXT3D_BENCH_BATCH', '4'))
+    batch = int(os.environ.get('NEXT3D_BENCH_BATCH', '8'))
     use_bf16 = os.environ.get('NEXT3D_BENCH_BF16', '1') == '1'
     iters = int(os.environ.get('NEXT3D_BENCH_ITERS', '10'))
     sweep = os.environ.get('NEXT3D_BENCH_SWEEP', '0') == '1'

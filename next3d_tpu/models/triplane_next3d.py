@@ -85,8 +85,12 @@ class TriPlaneGenerator:
         self.rasterizer_tile_capacity = rasterizer_tile_capacity
         # force_fp32=True pins every block to fp32 (parity mode; the
         # reference trains G in fp32, train_next3d.py:196-198). False lets
-        # use_fp16 blocks run bfloat16 — the TPU fast path.
+        # use_fp16 blocks run bfloat16 — the TPU fast path — and stores
+        # the gathered tri-plane/texture tables in bf16 (halves the bytes
+        # of the gather-bound hot path; features promoted back to f32
+        # before the decoder).
         self.force_fp32 = force_fp32
+        self.rendering_kwargs.setdefault('gather_bf16', not force_fp32)
         self.load_lms = True
         mapping_kwargs = mapping_kwargs or {}
 
@@ -262,11 +266,13 @@ class TriPlaneGenerator:
         # channel is nearly free)
         tex = jnp.broadcast_to(textures[None], (V,) + textures.shape)
         tex = tex.reshape((V * N,) + textures.shape[1:])
+        if not self.force_fp32 and tex.dtype == jnp.float32:
+            tex = tex.astype(jnp.bfloat16)  # halve gather bytes (see init)
         eye_mask = jnp.broadcast_to(
             jnp.asarray(self.uv_face_mask)[None, None],
             (V * N, 1) + self.uv_face_mask.shape).astype(tex.dtype)
         sampled = grid_sample_2d(jnp.concatenate([tex, eye_mask], axis=1),
-                                 grid)
+                                 grid).astype(jnp.float32)
         rendering_image = sampled[:, :-1]
         mask_face_eye = jax.lax.stop_gradient(sampled[:, -1:])
         alpha = mask_face_eye * alpha

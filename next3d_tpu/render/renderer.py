@@ -46,14 +46,24 @@ def project_onto_planes(coordinates, inv_planes=None):
     return proj.reshape(N * n_planes, M, 3)[..., :2]
 
 
-def sample_from_planes(plane_features, coordinates, box_warp):
-    """(N, 3, C, H, W), (N, M, 3) -> (N, 3, M, C) (reference :62-72)."""
+def sample_from_planes(plane_features, coordinates, box_warp,
+                       gather_bf16=False):
+    """(N, 3, C, H, W), (N, M, 3) -> (N, 3, M, C) (reference :62-72).
+
+    gather_bf16: store the gathered table in bfloat16 (halves the gather
+    bytes of the dominant cost, ~+10%% end-to-end frame rate); sampled
+    features are promoted back to float32 for the decoder. Off for parity
+    paths (the flagship enables it when force_fp32=False, mirroring the
+    reference's fp16-block policy)."""
     N, n_planes, C, H, W = plane_features.shape
     M = coordinates.shape[1]
     feats = plane_features.reshape(N * n_planes, C, H, W)
+    if gather_bf16 and feats.dtype == jnp.float32:
+        feats = feats.astype(jnp.bfloat16)
     coords = (2 / box_warp) * coordinates
     proj = project_onto_planes(coords)  # (N*3, M, 2)
     out = grid_sample_2d(feats, proj[:, None])  # (N*3, C, 1, M)
+    out = out.astype(jnp.float32)
     return out[:, :, 0].transpose(0, 2, 1).reshape(N, n_planes, M, C)
 
 
@@ -223,8 +233,9 @@ class ImportanceRenderer:
                 slab_h=options.get('fused_slab_h', None),
                 precision=options.get('fused_precision', 'bf16'))
         else:
-            sampled_features = sample_from_planes(planes, sample_coordinates,
-                                                  box_warp=options['box_warp'])
+            sampled_features = sample_from_planes(
+                planes, sample_coordinates, box_warp=options['box_warp'],
+                gather_bf16=options.get('gather_bf16', False))
         decoder_params, decoder_fn = decoder
         out = decoder_fn(decoder_params, sampled_features, sample_directions)
         if options.get('density_noise', 0) > 0:
