@@ -8,11 +8,15 @@ texture + 4-view rasterization + mouth pipeline + volume render 48+48 + SR
 to 512^2) — the generation path behind gen_samples (BASELINE.json north
 star). Env knobs:
 
-  NEXT3D_BENCH_MODE=synthesis|reenact   reenact = identity-cached per-frame
+  NEXT3D_BENCH_MODE=synthesis|reenact|train
+                                        reenact = identity-cached per-frame
                                         path (textures + static plane cached
                                         per subject, only rasterize->mouth->
                                         blend->render->SR per frame — the
-                                        reenact_avatar FPS metric)
+                                        reenact_avatar FPS metric);
+                                        train = full 4-phase GAN step incl.
+                                        G+D regularizers on one chip,
+                                        imgs/s (training throughput)
   NEXT3D_BENCH_BATCH=4                  batch size
   NEXT3D_BENCH_SWEEP=1                  also print (to stderr) a batch sweep
   NEXT3D_BENCH_BF16=1                   bf16 blocks (0 = full fp32 parity)
@@ -111,6 +115,44 @@ def main():
                          (np.asarray(v, np.float32), params, ws, textures,
                           static, c), batch, iters)
         metric = '512px_reenact_frames_per_sec_per_chip'
+    elif mode == 'train':
+        from next3d_tpu.nn import DualDiscriminator
+        from next3d_tpu.parallel import data_parallel_mesh
+        from next3d_tpu.train import (LossConfig, StyleGAN2Loss, TrainStep,
+                                      make_optimizer)
+        D = DualDiscriminator(c_dim=25, img_resolution=512, img_channels=3,
+                              num_fp16_res=4, conv_clamp=256)
+        loss = StyleGAN2Loss(G, D, LossConfig(
+            r1_gamma=4.0, gpc_reg_prob=None, density_reg=0.25,
+            neural_rendering_resolution_initial=64, blur_init_sigma=0.0))
+        step = TrainStep(loss,
+                         make_optimizer(0.0025, 0.0, 0.99, 1e-8,
+                                        reg_interval=4),
+                         make_optimizer(0.002, 0.0, 0.99, 1e-8,
+                                        reg_interval=16),
+                         mesh=data_parallel_mesh(jax.devices()[:1]))
+        state = step.init_state(jax.random.PRNGKey(0))
+        sched, nrr = loss.schedules(0)
+        real = np.random.RandomState(1).randn(
+            batch, 3, 512, 512).astype(np.float32)
+        batch_d = {'gen_z': z, 'gen_c': c, 'gen_v': np.asarray(v, np.float32),
+                   'real_c': c}
+
+        def one_step(gz, state):
+            b = dict(batch_d, gen_z=gz)
+            new_state, _ = step.run_phases(
+                state, b, real, jax.random.PRNGKey(2), sched, nrr,
+                do_greg=True, do_dreg=True)
+            return new_state
+
+        state = one_step(z, state)  # compile all 4 phases
+        jax.block_until_ready(state.params_G)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state = one_step(z + np.float32(i) * 1e-6, state)
+        jax.block_until_ready(state.params_G)
+        value = batch * iters / (time.perf_counter() - t0)
+        metric = '512px_train_step_imgs_per_sec_per_chip'
     else:
         @jax.jit
         def forward(z, params, c, v):

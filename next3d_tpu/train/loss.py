@@ -48,6 +48,11 @@ class LossConfig:
     box_warp: float = 1.0
     style_mixing_prob: float = 0.0
     num_frames: int = 1  # video clips per item (reference loss.py:88-108)
+    # rematerialize G.synthesis in the phase backwards (jax.checkpoint):
+    # trades ~1 extra forward for the synthesis activation residuals —
+    # REQUIRED to fit 512^2 training on a 16 GB v5e chip (the reference
+    # assumes 40 GB A100s); turn off on high-memory parts
+    remat_synthesis: bool = True
 
 
 def gaussian_blur_dynamic(img, blur_sigma, max_size):
@@ -172,9 +177,15 @@ class StyleGAN2Loss:
         ws, w_mean = self.G.mapping(params_G, z, c_cond, return_w_mean=True)
         if self.cfg.style_mixing_prob > 0:
             ws = self._style_mixing(params_G, ws, z, c, k_mix)
-        out = self.G.synthesis(params_G, ws, c, v,
-                               neural_rendering_resolution=nrr,
-                               noise_mode='random', rng=k_syn)
+
+        def synth(params_G, ws, c, v, k_syn):
+            return self.G.synthesis(params_G, ws, c, v,
+                                    neural_rendering_resolution=nrr,
+                                    noise_mode='random', rng=k_syn)
+
+        if self.cfg.remat_synthesis:
+            synth = jax.checkpoint(synth)
+        out = synth(params_G, ws, c, v, k_syn)
         return out, ws, w_mean
 
     def run_D(self, params_D, img, c, rng, sched):

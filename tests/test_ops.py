@@ -321,3 +321,32 @@ def test_grid_sample_packed_path_matches_small_path(rng):
         jnp.asarray((gx - x0).astype(np.float32)),
         jnp.asarray((gy - y0).astype(np.float32)), 4, 11))
     np.testing.assert_allclose(packed, small, rtol=1e-6, atol=1e-6)
+
+
+def test_grid_sample_custom_vjp_matches_small_grads(rng):
+    """Gradients of the packed-forward custom_vjp must equal the per-corner
+    path's autodiff (both w.r.t. input and grid), at a size that triggers
+    the packed branch."""
+    import jax
+    import jax.numpy as jnp
+    from next3d_tpu.ops import grid_sample_2d
+    from next3d_tpu.ops.grid_sample import _grid_sample_small
+
+    x = jnp.asarray(rng.randn(2, 4, 32, 32).astype(np.float32))
+    grid = jnp.asarray((rng.rand(2, 128, 512, 2) * 2.4 - 1.2)
+                       .astype(np.float32))
+    assert 2 * 128 * 512 >= (1 << 16)  # packed branch active
+
+    def loss_a(x, g):
+        return jnp.sum(jnp.sin(grid_sample_2d(x, g)))
+
+    def loss_b(x, g):
+        return jnp.sum(jnp.sin(_grid_sample_small(x, g)))
+
+    va, (gxa, gga) = jax.value_and_grad(loss_a, argnums=(0, 1))(x, grid)
+    vb, (gxb, ggb) = jax.value_and_grad(loss_b, argnums=(0, 1))(x, grid)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gga), np.asarray(ggb), rtol=1e-5,
+                               atol=1e-5)
