@@ -25,7 +25,11 @@ def list_valid_metrics():
     return sorted(_metric_dict)
 
 
-def calc_metric(metric, run_dir=None, **kwargs):
+def calc_metric(metric, run_dir=None, snapshot_pkl=None, cur_nimg=None,
+                **kwargs):
+    """Dispatch + jsonl report. ``snapshot_pkl``/``cur_nimg`` identify the
+    evaluated snapshot IN the persisted record (the reference writes
+    snapshot_pkl into the jsonl line, metric_main.py:49-56; ADVICE r2)."""
     assert is_valid_metric(metric), f'unknown metric {metric}'
     opts = MetricOptions(**kwargs)
     start = time.time()
@@ -33,6 +37,10 @@ def calc_metric(metric, run_dir=None, **kwargs):
     total_time = time.time() - start
     record = dict(results=results, metric=metric, total_time=total_time,
                   total_time_str=f'{total_time:.1f}s')
+    if snapshot_pkl is not None:
+        record['snapshot_pkl'] = snapshot_pkl
+    if cur_nimg is not None:
+        record['cur_nimg'] = cur_nimg
     if run_dir is not None:
         with open(os.path.join(run_dir, f'metric-{metric}.jsonl'), 'at') as f:
             f.write(json.dumps(record) + '\n')

@@ -35,7 +35,7 @@ from ..ops.interpolate import (interpolate_nearest, paste_resized_region,
                                resample_region)
 from ..render.fill_mouth import fill_mouth
 from ..render.mesh import angle2matrix, batch_orth_proj, face_vertices
-from ..render.rasterizer import rasterize_with_attributes
+from ..render.rasterizer import rasterize_uv_with_alpha
 from ..render.ray_sampler import sample_rays
 from ..render.renderer import ImportanceRenderer
 from ..utils.obj_io import ObjMesh, load_obj
@@ -166,6 +166,39 @@ class TriPlaneGenerator:
         # batch_orth_proj(aspect [1,0,0]) keeps xy as-is; y,z negate + z+10
         tv = tv * np.asarray([1., -1., -1.]) + np.asarray([0., 0., 10.])
         res = self.uv_resolution
+        patch_need = required_patch_size(tv, self.faces, res)
+        if self.rasterizer_impl in ('auto', 'pallas_binned'):
+            # per-tile segment capacity of the binned kernel (ADVICE r2):
+            # a face emits at most ONE entry per tile (its 4 bbox-corner
+            # entries land in 4 distinct tiles), so the per-tile entry count
+            # is bounded by faces-overlapping-tile = required_tile_capacity.
+            # The kernel DMAs max_seg=8192 entries per tile (minus <=127
+            # alignment skip) and clamps reads beyond it, so overflow would
+            # drop faces silently. 25% slack over the neutral mesh absorbs
+            # expression deformation. 'auto' falls back to 'tiled' (its
+            # non-TPU resolution anyway); explicit 'pallas_binned' fails
+            # loudly at construction. Neutral FLAME @256: max 2120 entries.
+            seg_need = required_tile_capacity(tv, self.faces, res, tile=32)
+            over_seg = seg_need * 1.25 + 128 > 8192
+            over_span = patch_need >= 32 * 0.8
+            if over_seg or over_span:
+                why = (f'tile segments need {seg_need} entries '
+                       f'(max_seg=8192)' if over_seg else
+                       f'face bbox span {patch_need:.0f}px approaches the '
+                       f'TILE=32 limit')
+                if self.rasterizer_impl == 'auto':
+                    self.rasterizer_impl = 'tiled'
+                    # size the tiled fallback to the measured occupancy
+                    # (top_k keeps the NEAREST faces, so need/4 suffices —
+                    # see the tiled-path guard below)
+                    need = required_tile_capacity(tv, self.faces, res, tile=8)
+                    self.rasterizer_tile_capacity = max(
+                        self.rasterizer_tile_capacity, -(-need // 4))
+                else:
+                    raise ValueError(
+                        f'binned rasterizer: {why} at {res}px; use '
+                        f"rasterizer_impl='tiled' or a lower "
+                        f'plane_resolution')
         if self.rasterizer_impl in ('tiled',):
             need = required_tile_capacity(tv, self.faces, res, tile=8)
             # the tiled path keeps the `capacity` NEAREST faces; a 25% slack
@@ -175,13 +208,6 @@ class TriPlaneGenerator:
                     f'rasterizer_tile_capacity={self.rasterizer_tile_capacity}'
                     f' too small: neutral mesh already stacks {need} faces'
                     f' per 8px tile at {res}px')
-        patch_need = required_patch_size(tv, self.faces, res)
-        if self.rasterizer_impl in ('auto', 'pallas_binned') \
-                and patch_need >= 32 * 0.8:
-            raise ValueError(
-                f'face bbox span {patch_need:.0f}px approaches the Pallas '
-                f'rasterizer TILE=32 limit at {res}px resolution; use '
-                f"rasterizer_impl='tiled' or a lower plane_resolution")
         if self.rasterizer_impl in ('scatter',) \
                 and patch_need >= self.rasterizer_patch:
             raise ValueError(
@@ -248,17 +274,17 @@ class TriPlaneGenerator:
         tl = batch_orth_proj(tl, jnp.asarray([1., 0., 0.]))[:, :, :2]
         tl = tl.at[:, :, 1:].multiply(-1)
 
-        attrs = jnp.broadcast_to(jnp.asarray(self.face_uvcoords)[None],
-                                 (V * N,) + self.face_uvcoords.shape)
-        rendering = rasterize_with_attributes(
+        attrs = jnp.broadcast_to(
+            jnp.asarray(self.face_uvcoords[..., :2])[None],
+            (V * N,) + self.face_uvcoords.shape[:-1] + (2,))
+        rendering = rasterize_uv_with_alpha(
             tv, jnp.asarray(self.faces), attrs, self.uv_resolution,
             patch=self.rasterizer_patch, face_chunk=self.rasterizer_face_chunk,
             impl=self.rasterizer_impl,
             tile_capacity=self.rasterizer_tile_capacity)
-        # (V*N, 4, H, W): (u, v, 1, alpha)
+        # (V*N, 3, H, W): (u, v, alpha)
         alpha = jax.lax.stop_gradient(rendering[:, -1:])
-        uv_img = rendering[:, :-1]
-        grid = jax.lax.stop_gradient(uv_img.transpose(0, 2, 3, 1)[..., :2])
+        grid = jax.lax.stop_gradient(rendering.transpose(0, 2, 3, 1)[..., :2])
 
         # eye mask rides the texture gather as an extra channel: ONE
         # grid_sample instead of two (the separate 1-ch eye pass measured

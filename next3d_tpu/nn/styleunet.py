@@ -140,6 +140,13 @@ class CondSynthesisNetwork:
         # encoder: blocks run in construction order (in_size down to
         # final_size); the reference's reversed enumerate only renames the
         # loop variable (reference :566-570)
+        #
+        # TPU perf: in bf16 mode the encoder + fusion convs run bfloat16 —
+        # they are ~40% of the StyleUNet FLOPs and the reference leaves them
+        # f32 only because its per-block fp16 casts cover synthesis blocks
+        # alone; f32 convs at HIGHEST are 6-pass bf16 on v5e (~6x slower)
+        if not block_kwargs.get('force_fp32', True):
+            x_in = x_in.astype(jnp.bfloat16)
         cond_list = []
         cond_out = None
         for i in range(len(self.encoder)):

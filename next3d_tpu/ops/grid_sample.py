@@ -45,8 +45,12 @@ def _grid_sample_forward(input, grid):
     assert grid.shape[0] == N and grid.shape[-1] == 2
     Ho, Wo = grid.shape[1], grid.shape[2]
 
-    x = (grid[..., 0].astype(input.dtype) + 1) * (W / 2) - 0.5
-    y = (grid[..., 1].astype(input.dtype) + 1) * (H / 2) - 0.5
+    # Coordinate math ALWAYS in f32: with bf16 tables, (grid+1)*(W/2) in
+    # bf16 has ulp ~1px near the high-coordinate edge — positional
+    # quantization, not just feature precision (ADVICE r2). Only the
+    # gathered rows stay in table dtype; weights are cast at multiply time.
+    x = (grid[..., 0].astype(jnp.float32) + 1) * (W / 2) - 0.5
+    y = (grid[..., 1].astype(jnp.float32) + 1) * (H / 2) - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx1 = x - x0
@@ -73,8 +77,9 @@ def _grid_sample_small(input, grid):
     differentiates (lean residuals: no packed table)."""
     N, C, H, W = input.shape
     Ho, Wo = grid.shape[1], grid.shape[2]
-    x = (grid[..., 0].astype(input.dtype) + 1) * (W / 2) - 0.5
-    y = (grid[..., 1].astype(input.dtype) + 1) * (H / 2) - 0.5
+    # f32 coordinate math regardless of table dtype (see _grid_sample_forward)
+    x = (grid[..., 0].astype(jnp.float32) + 1) * (W / 2) - 0.5
+    y = (grid[..., 1].astype(jnp.float32) + 1) * (H / 2) - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx1 = x - x0
@@ -94,7 +99,8 @@ def _grid_sample_small(input, grid):
         # take_along_axis lowers to the fast TPU gather path (~20x faster
         # than vmap(f[ix]) row indexing; see tools/profile_gather.py)
         g = jnp.take_along_axis(feat, idx[..., None], axis=1)  # (N, HoWo, C)
-        wgt = (wxi * wyi * valid.astype(input.dtype)).reshape(N, Ho * Wo, 1)
+        # weight product in f32, single cast to table dtype at the multiply
+        wgt = (wxi * wyi * valid).astype(input.dtype).reshape(N, Ho * Wo, 1)
         return g * wgt
 
     out = (corner(x0, y0, wx0, wy0) + corner(x1, y0, wx1, wy0)
@@ -143,12 +149,13 @@ def _grid_sample_packed(input, x0, y0, wx1, wy1, Ho, Wo):
     wy0 = 1 - wy1
 
     def axis_w(b, t0, w0, w1, d):
-        # weight of packed slot b+d along one axis
-        return (w0 * (b + d == t0) + w1 * (b + d == t0 + 1)).astype(dtype)
+        # weight of packed slot b+d along one axis (f32; cast at product)
+        return w0 * (b + d == t0) + w1 * (b + d == t0 + 1)
 
     out = 0
     for slot, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
         w = (axis_w(by, y0, wy0, wy1, dy)
-             * axis_w(bx, x0, wx0, wx1, dx)).reshape(N, Ho * Wo, 1)
+             * axis_w(bx, x0, wx0, wx1, dx)).astype(dtype).reshape(
+                 N, Ho * Wo, 1)
         out = out + g[..., slot * C:(slot + 1) * C] * w
     return out.reshape(N, Ho, Wo, C).transpose(0, 3, 1, 2)

@@ -247,7 +247,10 @@ def _binned_kernel(starts_ref, slab_ref, fid_out, zbuf_out, seg, zmin, fidc,
         jax.lax.fori_loop(0, 128, group, 0)
         return 0
 
-    nb = pl.cdiv(skip + n, 128)
+    # clamp so packets never read beyond the DMA'd max_seg window even if a
+    # tile's segment overflows (callers validate capacity at construction;
+    # this keeps an overflow bounded-wrong instead of reading garbage)
+    nb = jnp.minimum(pl.cdiv(skip + n, 128), max_seg // 128)
     jax.lax.fori_loop(0, nb, packet, 0)
 
     # resolve across the 128 candidate lanes: min z, tie -> min fid
@@ -258,6 +261,228 @@ def _binned_kernel(starts_ref, slab_ref, fid_out, zbuf_out, seg, zmin, fidc,
     zbuf_out[0, 0] = zrow.reshape(128, 8).T
     f = frow.reshape(128, 8).T
     fid_out[0, 0] = jnp.where(f >= 2.0 ** 30, -1, f).astype(jnp.int32)
+
+
+def _binned_attr_kernel(starts_ref, slab_ref, fid_out, u_out, v_out, seg,
+                        zmin, fidc, ubuf, vbuf, dma_sem, *, tiles_x, max_seg,
+                        n_coeff=19):
+    """UV-emitting variant of ``_binned_kernel``: the slab carries two extra
+    affine attribute channels (u, v) interpolated at the winning pixel, so
+    the caller needs NO per-pixel attribute gather afterwards (replaces
+    ``interpolate_face_attributes`` for affine per-face attributes).
+
+    slab rows: b0c,b0x,b0y, b1c,b1x,b1y, b2c,b2x,b2y, zc,zx,zy,
+               uc,ux,uy, vc,vx,vy, fid  (19 of 24; rest padding).
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+    base = b * (T + 1)
+    start = starts_ref[base + t]
+    n = starts_ref[base + t + 1] - start
+    astart = pl.multiple_of((start // 128) * 128, 128)
+    skip = start - astart
+
+    cp = pltpu.make_async_copy(
+        slab_ref.at[b, :, pl.ds(astart, max_seg)], seg, dma_sem)
+    cp.start()
+
+    base_x = (t % tiles_x) * TILE
+    base_y = (t // tiles_x) * TILE
+    s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    gy_base = (base_y + s8 * (128 // TILE)).astype(jnp.float32)   # (8,1)
+
+    zmin[...] = jnp.full((1024, 128), BIG_Z, jnp.float32)
+    fidc[...] = jnp.full((1024, 128), 2.0 ** 30, jnp.float32)
+    ubuf[...] = jnp.zeros((1024, 128), jnp.float32)
+    vbuf[...] = jnp.zeros((1024, 128), jnp.float32)
+
+    cp.wait()
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def packet(i, _):
+        off = pl.multiple_of(i * 128, 128)
+        lane_g = lane128 + off
+        valid = (lane_g >= skip) & (lane_g < skip + n)       # (1,128)
+        c = [seg[j, pl.ds(off, 128)].reshape(1, 128)
+             for j in range(n_coeff)]
+        (b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y,
+         zc, zx, zy, uc, ux, uy, vc, vx, vy, fidv) = c
+
+        def group(g, _):
+            gx = (base_x + g % TILE).astype(jnp.float32)      # scalar
+            gy = gy_base + (g // TILE).astype(jnp.float32)    # (8,1)
+            w0 = b0c + b0x * gx + b0y * gy                    # (8,128)
+            w1 = b1c + b1x * gx + b1y * gy
+            w2 = b2c + b2x * gx + b2y * gy
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+            z = zc + zx * gx + zy * gy
+            z = jnp.where(inside, z, BIG_Z)
+            r = pl.multiple_of(g * 8, 8)
+            zold = zmin[pl.ds(r, 8), :]
+            fold = fidc[pl.ds(r, 8), :]
+            better = (z < zold) | ((z == zold) & (fidv < fold) & inside)
+            zmin[pl.ds(r, 8), :] = jnp.where(better, z, zold)
+            fidc[pl.ds(r, 8), :] = jnp.where(better, fidv, fold)
+            ubuf[pl.ds(r, 8), :] = jnp.where(better, uc + ux * gx + uy * gy,
+                                             ubuf[pl.ds(r, 8), :])
+            vbuf[pl.ds(r, 8), :] = jnp.where(better, vc + vx * gx + vy * gy,
+                                             vbuf[pl.ds(r, 8), :])
+            return 0
+
+        jax.lax.fori_loop(0, 128, group, 0)
+        return 0
+
+    nb = jnp.minimum(pl.cdiv(skip + n, 128), max_seg // 128)
+    jax.lax.fori_loop(0, nb, packet, 0)
+
+    # resolve across candidate lanes: min z, tie -> min fid; u/v follow the
+    # winning lane (a face appears at most once per tile segment, so the
+    # (z, fid) pair identifies one lane)
+    zrow = jnp.min(zmin[...], axis=1, keepdims=True)          # (1024,1)
+    ftie = jnp.where(zmin[...] == zrow, fidc[...], 2.0 ** 30)
+    frow = jnp.min(ftie, axis=1, keepdims=True)               # (1024,1)
+    sel = (zmin[...] == zrow) & (fidc[...] == frow)
+    urow = jnp.min(jnp.where(sel, ubuf[...], BIG_Z), axis=1, keepdims=True)
+    vrow = jnp.min(jnp.where(sel, vbuf[...], BIG_Z), axis=1, keepdims=True)
+    hit = frow < 2.0 ** 30
+    f = jnp.where(hit, frow, -1.0)
+    fid_out[0, 0] = f.reshape(128, 8).T.astype(jnp.int32)
+    u_out[0, 0] = jnp.where(hit, urow, 0.0).reshape(128, 8).T
+    v_out[0, 0] = jnp.where(hit, vrow, 0.0).reshape(128, 8).T
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
+                                    max_seg=8192, interpret=False):
+    """Sort-binned rasterizer that ALSO emits barycentric-interpolated
+    per-face attributes (u, v) at the winning face of each pixel.
+
+    verts: (B, V, 3); faces: (F, 3); face_attrs: (B or 1, F, 3, 2) —
+    per-corner (u, v). Returns (pix_to_face (B,H,W) i32, u (B,H,W) f32,
+    v (B,H,W) f32). Visibility semantics identical to
+    ``rasterize_mesh_pallas_binned``; attribute values equal
+    ``interpolate_face_attributes`` (same unclamped barycentric affine).
+    Non-differentiable (inputs are stop-gradiented) — the flagship model
+    stop-gradients the rasterization anyway (triplane_next3d rasterize).
+    """
+    verts = jax.lax.stop_gradient(verts)
+    face_attrs = jax.lax.stop_gradient(face_attrs)
+    B = verts.shape[0]
+    F = faces.shape[0]
+    H = W = image_size
+    assert H % TILE == 0
+    Tx = W // TILE
+    T = Tx * (H // TILE)
+    faces = faces.astype(jnp.int32)
+
+    px = (verts[..., 0] + 1) * (W / 2) - 0.5
+    py = (verts[..., 1] + 1) * (H / 2) - 0.5
+    fx = px[:, faces]                                        # (B, F, 3)
+    fy = py[:, faces]
+    fz = verts[..., 2][:, faces]
+    x0, x1, x2 = fx[..., 0], fx[..., 1], fx[..., 2]
+    y0, y1, y2 = fy[..., 0], fy[..., 1], fy[..., 2]
+    z0, z1, z2 = fz[..., 0], fz[..., 1], fz[..., 2]
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    keep = area > 1e-8
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, area, 1.0), 0.0)
+
+    def edge_coeffs(xa, ya, xb, yb):
+        cx = -(yb - ya) * inv
+        cy = (xb - xa) * inv
+        cc = ((yb - ya) * xa - (xb - xa) * ya) * inv
+        return cc, cx, cy
+
+    b0c, b0x, b0y = edge_coeffs(x1, y1, x2, y2)
+    b1c, b1x, b1y = edge_coeffs(x2, y2, x0, y0)
+    b2c, b2x, b2y = edge_coeffs(x0, y0, x1, y1)
+
+    def affine(a0, a1, a2):
+        return (b0c * a0 + b1c * a1 + b2c * a2,
+                b0x * a0 + b1x * a1 + b2x * a2,
+                b0y * a0 + b1y * a1 + b2y * a2)
+
+    zc, zx, zy = affine(z0, z1, z2)
+    fa = jnp.broadcast_to(face_attrs, (B, F, 3, 2))
+    uc, ux, uy = affine(fa[..., 0, 0], fa[..., 1, 0], fa[..., 2, 0])
+    vc, vx, vy = affine(fa[..., 0, 1], fa[..., 1, 1], fa[..., 2, 1])
+    b0c = jnp.where(keep, b0c, -jnp.inf)
+    fidf = jnp.broadcast_to(jnp.arange(F, dtype=jnp.float32)[None], (B, F))
+    zero = jnp.zeros_like(b0c)
+    coeffs = jnp.stack([b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y,
+                        zc, zx, zy, uc, ux, uy, vc, vx, vy, fidf,
+                        zero, zero, zero, zero, zero], axis=-1)  # (B, F, 24)
+
+    txlo = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(x0, x1), x2) / TILE),
+                    0, Tx - 1).astype(jnp.int32)
+    txhi = jnp.clip(jnp.floor(jnp.maximum(jnp.maximum(x0, x1), x2) / TILE),
+                    0, Tx - 1).astype(jnp.int32)
+    tylo = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(y0, y1), y2) / TILE),
+                    0, H // TILE - 1).astype(jnp.int32)
+    tyhi = jnp.clip(jnp.floor(jnp.maximum(jnp.maximum(y0, y1), y2) / TILE),
+                    0, H // TILE - 1).astype(jnp.int32)
+    dummy = jnp.int32(T)
+    e00 = tylo * Tx + txlo
+    e01 = jnp.where(txhi > txlo, tylo * Tx + txhi, dummy)
+    e10 = jnp.where(tyhi > tylo, tyhi * Tx + txlo, dummy)
+    e11 = jnp.where((txhi > txlo) & (tyhi > tylo), tyhi * Tx + txhi, dummy)
+    tids = jnp.stack([e00, e01, e10, e11], axis=-1)          # (B, F, 4)
+    tids = jnp.where(keep[..., None], tids, dummy).reshape(B, 4 * F)
+
+    eface = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
+                             (F, 4)).reshape(1, 4 * F)
+    eface = jnp.broadcast_to(eface, (B, 4 * F))
+    tids_sorted, order = jax.lax.sort_key_val(tids, eface, dimension=1)
+
+    counts = jnp.zeros((B, T + 1), jnp.int32).at[
+        jnp.arange(B)[:, None], jnp.clip(tids, 0, T)].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.cumsum(counts, axis=1, dtype=jnp.int32)[:, :T]], axis=1)
+
+    slab = jnp.take_along_axis(coeffs, order[..., None], axis=1)  # (B,E,24)
+    slab = slab.transpose(0, 2, 1)                            # (B, 24, E)
+    slab = jnp.pad(slab, ((0, 0), (0, 0), (0, max_seg)))
+
+    kernel = functools.partial(_binned_attr_kernel, tiles_x=Tx,
+                               max_seg=max_seg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, 8, 128), lambda b, t, *_: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(3)),
+        scratch_shapes=[
+            pltpu.VMEM((24, max_seg), jnp.float32),   # segment
+            pltpu.VMEM((1024, 128), jnp.float32),     # z carry
+            pltpu.VMEM((1024, 128), jnp.float32),     # fid carry
+            pltpu.VMEM((1024, 128), jnp.float32),     # u carry
+            pltpu.VMEM((1024, 128), jnp.float32),     # v carry
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    fid, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, T, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, 8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(starts.reshape(-1), slab)
+
+    def unscramble(a):
+        a = a.reshape(B, H // TILE, Tx, TILE * TILE // TILE, TILE)
+        return a.transpose(0, 1, 3, 2, 4).reshape(B, H, W)
+
+    return unscramble(fid), unscramble(u), unscramble(v)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

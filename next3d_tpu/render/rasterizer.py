@@ -456,6 +456,40 @@ def rasterize_with_attributes(verts, faces, attributes, image_size,
                                        image_size)
 
 
+def rasterize_uv_with_alpha(verts, faces, uv_attrs, image_size,
+                            patch=32, face_chunk=2048, impl='auto',
+                            tile_capacity=320):
+    """(B, 3, H, W): (u, v, alpha) — the flagship's rasterization output.
+
+    Semantically ``rasterize_with_attributes`` with D=2 attributes (the
+    reference's face_uvcoords carry a constant-1 third channel that nothing
+    consumes; the model reads channels [:2] for the texture grid and the
+    alpha for masking — triplane_next3d.py:213-218). On TPU the
+    'pallas_binned' path uses the UV-EMITTING kernel: the per-pixel
+    attribute row gather + barycentric math of
+    ``interpolate_face_attributes`` happens inside the rasterizer kernel
+    while the candidate segment is already VMEM-resident, removing one
+    full-image wide-row gather from the hot path. Other impls fall back to
+    pix_to_face + interpolate.
+    """
+    if impl == 'auto':
+        on_tpu = jax.devices()[0].platform == 'tpu'
+        impl = ('pallas_binned' if on_tpu and image_size % 32 == 0
+                else 'tiled')
+    if impl == 'pallas_binned' and image_size % 32 == 0:
+        from ..ops.pallas_raster import rasterize_mesh_pallas_binned_uv
+        pix_to_face, u, v = rasterize_mesh_pallas_binned_uv(
+            verts, faces, uv_attrs, image_size)
+        alpha = (pix_to_face >= 0).astype(u.dtype)
+        return jnp.stack([u, v, alpha], axis=1)
+    ones = jnp.ones_like(uv_attrs[..., :1])
+    out = rasterize_with_attributes(
+        verts, faces, jnp.concatenate([uv_attrs, ones], axis=-1), image_size,
+        patch=patch, face_chunk=face_chunk, impl=impl,
+        tile_capacity=tile_capacity)  # (B, 4, H, W): (u, v, 1, alpha)
+    return jnp.concatenate([out[:, :2], out[:, 3:]], axis=1)
+
+
 def required_patch_size(verts, faces, image_size):
     """Max face bbox span in pixels (host-side helper to validate ``patch``)."""
     verts = np.asarray(verts)

@@ -33,7 +33,12 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
-NON_TRAINABLE_LEAVES = ('w_avg', 'noise_const', 'orth_scale', 'orth_shift')
+NON_TRAINABLE_LEAVES = ('w_avg', 'noise_const', 'orth_scale', 'orth_shift',
+                        # SG3 forward-magnitude EMA buffer: gradient flows
+                        # into it via input_gain=rsqrt(magnitude_ema), but the
+                        # reference never trains it (ADVICE r2; wire the
+                        # functional EMA update before training SG3 nets)
+                        'magnitude_ema')
 W_AVG_BETA = 0.998  # reference networks_stylegan2.py:204
 
 

@@ -302,9 +302,9 @@ def _eval_metrics(G, state, dataset, metrics, run_dir, snapshot_path,
             record = metric_main.calc_metric(
                 name, run_dir=run_dir, generator=G,
                 params=state.params_G_ema, dataset=dataset,
-                cache_dir=run_dir)
-            record['snapshot_pkl'] = os.path.basename(snapshot_path)
-            record['cur_nimg'] = cur_nimg
+                cache_dir=run_dir,
+                snapshot_pkl=os.path.basename(snapshot_path),
+                cur_nimg=cur_nimg)
             print(f"metric {name}: {record['results']}", flush=True)
         except Exception as e:
             print(f'metric {name} FAILED: {e!r}', flush=True)

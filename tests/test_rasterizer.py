@@ -246,3 +246,48 @@ def test_pallas_binned_matches_scatter_interpret():
     covered = pf_s >= 0
     np.testing.assert_allclose(np.asarray(z_b)[covered],
                                np.asarray(z_s)[covered], rtol=1e-3, atol=2e-2)
+
+def test_pallas_binned_uv_matches_interpolate_interpret():
+    """UV-emitting binned kernel (interpret mode) vs binned pix_to_face +
+    interpolate_face_attributes on the real FLAME mesh: visibility must be
+    identical, and the in-kernel affine (u, v) must match the separate
+    barycentric interpolation pass at float rounding."""
+    from next3d_tpu.ops.pallas_raster import (
+        rasterize_mesh_pallas_binned, rasterize_mesh_pallas_binned_uv)
+    mesh = load_obj(REF_DEMO)
+    rng = np.random.RandomState(1)
+    v = mesh.verts
+    v = (v - v.mean(0)) / np.abs(v - v.mean(0)).max() * 0.9
+    verts = np.stack([v, v + rng.randn(*v.shape) * 0.002]).astype(np.float32)
+    verts = np.concatenate([verts[..., :2], 10.0 - verts[..., 2:] * 2], -1)
+    faces = mesh.faces.astype(np.int32)
+    B, F = verts.shape[0], faces.shape[0]
+    # per-face per-corner (u, v) in [-1, 1] like face_uvcoords[..., :2]
+    attrs = rng.rand(1, F, 3, 2).astype(np.float32) * 2 - 1
+    H = 128
+    pf, _ = rasterize_mesh_pallas_binned(jnp.asarray(verts),
+                                         jnp.asarray(faces), H,
+                                         max_seg=8192, interpret=True)
+    # golden interpolation (append a dummy 3rd channel; take the first two)
+    attrs3 = np.concatenate([attrs, np.ones_like(attrs[..., :1])], axis=-1)
+    golden = interpolate_face_attributes(
+        jnp.asarray(verts), jnp.asarray(faces),
+        jnp.broadcast_to(jnp.asarray(attrs3), (B, F, 3, 3)), pf, H)
+    pf_uv, u, v_ = rasterize_mesh_pallas_binned_uv(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(attrs), H,
+        max_seg=8192, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pf_uv), np.asarray(pf))
+    covered = np.asarray(pf) >= 0
+    gu = np.asarray(golden[:, 0])
+    gv = np.asarray(golden[:, 1])
+    # atol covers near-degenerate faces (area ~1e-6 -> inv ~1e6) where both
+    # the in-kernel affine and the golden barycentric pass are equally
+    # ill-conditioned and differ only by float reassociation (measured max
+    # 1.2e-3 on one sliver-face pixel of the FLAME mesh; ~0.1px at 256 tex)
+    np.testing.assert_allclose(np.asarray(u)[covered], gu[covered],
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v_)[covered], gv[covered],
+                               rtol=1e-4, atol=2e-3)
+    # uncovered pixels emit exactly zero
+    assert np.all(np.asarray(u)[~covered] == 0)
+    assert np.all(np.asarray(v_)[~covered] == 0)

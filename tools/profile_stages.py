@@ -10,7 +10,7 @@ G = TriPlaneGenerator(z_dim=512, c_dim=25, w_dim=512, img_resolution=512,
                       rendering_kwargs=ge.RENDER_KW_FFHQ, sr_num_fp16_res=4,
                       force_fp32=_os.environ.get('PROF_FP32','0')=='1')
 params = G.init(jax.random.PRNGKey(0))
-B = 4
+B = int(os.environ.get("PROF_B", "4"))
 z = np.random.RandomState(0).randn(B, 512).astype(np.float32)
 c = ge._camera_batch(B); v = ge._verts_batch(B)
 
