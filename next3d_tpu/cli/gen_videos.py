@@ -75,37 +75,70 @@ def generate_video(network_path, seeds, truncation_psi=0.7,
     num_keyframes = len(seeds) // (gw * gh)
     ws = ws.reshape(gh, gw, num_keyframes, *ws.shape[1:])
 
+    B = gh * gw
+    vb = np.repeat(v, B, 0)
+
+    # all grid cells render as ONE batched call per frame (the reference
+    # loops cells in python, gen_videos_next3d.py:126-140)
     @jax.jit
     def render(params, w, c):
-        return G.synthesis(params, w, c, v, noise_mode='const')['image']
+        return G.synthesis(params, w, c, vb, noise_mode='const')['image']
+
+    # identity caching (VERDICT r2 #9 / SURVEY section 3.5): with a single
+    # keyframe per cell (the flagship 2x2-orbit config) the interpolated w
+    # is CONSTANT across frames, so the neural texture and static tri-plane
+    # are identity-only — build them once and re-run only
+    # rasterize -> mouth -> blend -> render -> SR per frame, exactly like
+    # the reenact fast path.
+    @jax.jit
+    def identity(params, w):
+        n_tex = G.texture_backbone.num_ws
+        eg3d_ws, texture_ws = w[:, :n_tex], w[:, n_tex:]
+        textures = G.texture_backbone.synthesis(
+            params['texture_backbone']['synthesis'], texture_ws,
+            noise_mode='const')
+        static = G.backbone.synthesis(params['backbone']['synthesis'],
+                                      eg3d_ws, noise_mode='const')
+        static = static.reshape(static.shape[0], 3, 32, *static.shape[-2:])
+        return textures, static
+
+    @jax.jit
+    def render_cached(params, w, textures, static, c):
+        return G.synthesis_from_identity(params, w, textures, static, c, vb,
+                                         noise_mode='const')['image']
+
+    cached = num_keyframes == 1
+    if cached:
+        w_const = jnp.asarray(ws[:, :, 0].reshape(B, *ws.shape[3:]),
+                              jnp.float32)
+        textures, static = identity(params, w_const)
+    else:
+        # one cubic interpolator per cell, hoisted out of the frame loop
+        x = np.arange(-num_keyframes, num_keyframes * 2)
+        interps = [
+            sinterp.interp1d(x, np.tile(ws[yi, xi], (3, 1, 1)), kind='cubic',
+                             axis=0)
+            for yi in range(gh) for xi in range(gw)]
 
     video_path = os.path.join(outdir, 'interpolation.mp4')
     from ..utils.video import VideoWriter
     writer = VideoWriter(video_path, fps=fps)
     total = num_keyframes * w_frames
     for frame_idx in range(total):
-        imgs = []
-        for yi in range(gh):
-            for xi in range(gw):
-                # cubic interp over keyframes, looped
-                kf = ws[yi, xi]
-                x = np.arange(-num_keyframes, num_keyframes * 2)
-                y = np.tile(kf, (3, 1, 1))
-                interp = sinterp.interp1d(x, y, kind='cubic' if
-                                          num_keyframes > 1 else 'nearest',
-                                          axis=0)
-                w = interp(frame_idx / w_frames)
-                pitch = -0.25 * np.sin(2 * math.pi * frame_idx / total)
-                yaw = 0.35 * np.sin(2 * math.pi * frame_idx / total)
-                c = camera_label(yaw, pitch)
-                img = np.asarray(render(params,
-                                        jnp.asarray(w[None], jnp.float32), c))
-                imgs.append(img[0])
-        H = imgs[0].shape[-1]
+        pitch = -0.25 * np.sin(2 * math.pi * frame_idx / total)
+        yaw = 0.35 * np.sin(2 * math.pi * frame_idx / total)
+        c = np.repeat(camera_label(yaw, pitch), B, 0)
+        if cached:
+            imgs = np.asarray(render_cached(params, w_const, textures,
+                                            static, c))
+        else:
+            w = np.stack([f(frame_idx / w_frames) for f in interps])
+            imgs = np.asarray(render(params, jnp.asarray(w, jnp.float32), c))
+        H = imgs.shape[-1]
         canvas = np.zeros((3, gh * H, gw * H), np.float32)
-        for i, img in enumerate(imgs):
+        for i in range(B):
             yy, xx = divmod(i, gw)
-            canvas[:, yy * H:(yy + 1) * H, xx * H:(xx + 1) * H] = img
+            canvas[:, yy * H:(yy + 1) * H, xx * H:(xx + 1) * H] = imgs[i]
         frame = np.clip((canvas.transpose(1, 2, 0) + 1) * 127.5,
                         0, 255).astype(np.uint8)
         writer.append(frame)
