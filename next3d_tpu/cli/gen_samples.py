@@ -107,18 +107,31 @@ def extract_shape(G, params, z, cond_c, v, shape_res, max_batch, out_path,
     samples, voxel_origin, voxel_size = create_samples(
         N=shape_res, cube_length=G.rendering_kwargs['box_warp'] * 1)
 
+    # the sample axis is embarrassingly parallel: shard it across ALL local
+    # devices (planes/params replicated; XLA partitions the tri-plane
+    # gather + decoder MLP with zero collectives until the host fetch) —
+    # the reference chunk-loops on ONE GPU (gen_samples_next3d.py:210-226);
+    # SURVEY section 5.7 / VERDICT r2 #8.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import data_parallel_mesh
+    devices = jax.devices()
+    mesh = data_parallel_mesh(devices)
+    shard = NamedSharding(mesh, P(None, 'data', None))
+
     @jax.jit
     def decode(planes, coords):
         out = G.sample_with_planes(params, planes, coords, coords)
         return out['sigma']
 
     sigmas = np.zeros((samples.shape[0],), np.float32)
-    chunk = min(max_batch, samples.shape[0])
+    # chunk must split evenly over the device axis
+    chunk = min(max_batch * len(devices), samples.shape[0])
+    chunk = -(-chunk // len(devices)) * len(devices)
     n_chunks = -(-samples.shape[0] // chunk)
     padded = np.zeros((n_chunks * chunk, 3), np.float32)
     padded[:samples.shape[0]] = samples
     for i in range(n_chunks):
-        part = jnp.asarray(padded[i * chunk:(i + 1) * chunk][None])
+        part = jax.device_put(padded[i * chunk:(i + 1) * chunk][None], shard)
         s = np.asarray(decode(planes, part))[0, :, 0]
         lo = i * chunk
         hi = min((i + 1) * chunk, samples.shape[0])
