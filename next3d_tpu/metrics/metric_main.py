@@ -106,6 +106,24 @@ def eqr50k(opts):
 
 
 @register_metric
+def reenact_dist(opts):
+    """AED/APD reenactment metrics over the full driving dataset
+    (reference's intended evaluation, evaluation.py:105-107)."""
+    from .reenactment_distance import compute_aed_apd
+    r = compute_aed_apd(opts)
+    return {'reenact_dist_aed': r['aed'], 'reenact_dist_apd': r['apd']}
+
+
+@register_metric
+def reenact_dist500(opts):
+    """AED/APD over the first 500 driving frames (quick variant)."""
+    from .reenactment_distance import compute_aed_apd
+    r = compute_aed_apd(opts, num_frames=500)
+    return {'reenact_dist500_aed': r['aed'],
+            'reenact_dist500_apd': r['apd']}
+
+
+@register_metric
 def ppl2_wend(opts):
     from .perceptual_path_length import compute_ppl
     return {'ppl2_wend': compute_ppl(opts, num_samples=2000, epsilon=1e-4,

