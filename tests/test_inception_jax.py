@@ -1,0 +1,65 @@
+"""JAX-native Inception-2015 FID detector (metrics/inception_jax.py).
+
+Structure/shape tests always run; numerical parity vs the NVIDIA
+TorchScript pickle (the torch-CPU oracle) is env-gated on
+NEXT3D_INCEPTION_PATH, absent in this zero-egress environment."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from next3d_tpu.metrics import inception_jax as inc
+
+
+def test_feature_and_logit_shapes(rng):
+    params = inc.init_params(jax.random.PRNGKey(0))
+    imgs = (rng.rand(2, 3, 64, 64) * 255).astype(np.uint8)
+    feat = jax.jit(inc.features)(params, jnp.asarray(imgs))
+    assert feat.shape == (2, inc.NUM_FEATURES)
+    assert np.isfinite(np.asarray(feat)).all()
+    logits = inc.features(params, jnp.asarray(imgs), return_logits=True)
+    assert logits.shape == (2, inc.NUM_LOGITS)
+    nlog = inc.features(params, jnp.asarray(imgs), return_logits=True,
+                        no_output_bias=True)
+    assert not np.allclose(np.asarray(logits), np.asarray(nlog)) or \
+        np.allclose(np.asarray(params['output']['b']), 0)
+
+
+def test_native_299_input_skips_resize(rng):
+    params = inc.init_params(jax.random.PRNGKey(1))
+    img = (rng.rand(1, 3, 299, 299) * 255).astype(np.uint8)
+    feat = inc.features(params, jnp.asarray(img))
+    assert feat.shape == (1, inc.NUM_FEATURES)
+
+
+def test_batch_consistency(rng):
+    params = inc.init_params(jax.random.PRNGKey(2))
+    img = (rng.rand(1, 3, 32, 32) * 255).astype(np.uint8)
+    both = np.repeat(img, 2, 0)
+    f1 = np.asarray(inc.features(params, jnp.asarray(img)))
+    f2 = np.asarray(inc.features(params, jnp.asarray(both)))
+    np.testing.assert_allclose(f2[0], f2[1], atol=1e-6)
+    np.testing.assert_allclose(f1[0], f2[0], atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(
+    os.environ.get('NEXT3D_INCEPTION_PATH', '')),
+    reason='Inception TorchScript pickle absent (zero-egress env)')
+def test_parity_vs_torchscript(rng):
+    """Golden parity of the converted JAX graph vs the torch-CPU oracle."""
+    import torch
+    path = os.environ['NEXT3D_INCEPTION_PATH']
+    params = inc.convert_torchscript_inception(path)
+    model = torch.jit.load(path).eval()
+    imgs = (rng.rand(4, 3, 128, 128) * 255).astype(np.uint8)
+    with torch.no_grad():
+        ref = model(torch.as_tensor(imgs), return_features=True).numpy()
+    got = np.asarray(inc.features(params, jnp.asarray(imgs)))
+    # bilinear-resize half-pixel convention + fp reassociation headroom
+    assert np.abs(got - ref).max() < 5e-2, np.abs(got - ref).max()
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999
