@@ -336,3 +336,21 @@ def make_jax_detector(path, batch_jit=True):
     def detect(images_uint8):
         return np.asarray(fn(params, jnp.asarray(images_uint8)))
     return detect
+
+
+def make_jax_probs_detector(path, batch_jit=True):
+    """Inception-score detector: softmax over the 1008 logits WITHOUT the
+    output bias (the reference's detector_kwargs=dict(no_output_bias=True),
+    inception_score.py:23)."""
+    params = _cached_params(path)
+
+    def probs(params, imgs):
+        logits = features(params, imgs, return_logits=True,
+                          no_output_bias=True)
+        return jax.nn.softmax(logits, axis=-1)
+
+    fn = jax.jit(probs) if batch_jit else probs
+
+    def detect(images_uint8):
+        return np.asarray(fn(params, jnp.asarray(images_uint8)))
+    return detect

@@ -9,7 +9,17 @@ from .metric_utils import MetricOptions, compute_feature_stats_for_generator
 
 def compute_is(opts: MetricOptions, num_gen=50000, num_splits=10):
     """Expects the detector to return softmax probabilities (the reference
-    calls the Inception pickle with no_output_bias=True)."""
+    calls the Inception pickle with no_output_bias=True,
+    inception_score.py:23). When no explicit detector is passed, build the
+    on-device probs head from NEXT3D_INCEPTION_PATH."""
+    import dataclasses
+    import os
+    if opts.detector is None:
+        path = os.environ.get('NEXT3D_INCEPTION_PATH')
+        if path and os.path.exists(path):
+            from .inception_jax import make_jax_probs_detector
+            opts = dataclasses.replace(
+                opts, detector=make_jax_probs_detector(path))
     gen_probs = compute_feature_stats_for_generator(
         opts, capture_all=True, capture_mean_cov=False,
         max_items=num_gen).get_all()
