@@ -138,20 +138,36 @@ def main():
         batch_d = {'gen_z': z, 'gen_c': c, 'gen_v': np.asarray(v, np.float32),
                    'real_c': c}
 
-        def one_step(gz, state):
+        def one_step(gz, state, do_greg, do_dreg):
             b = dict(batch_d, gen_z=gz)
             new_state, _ = step.run_phases(
                 state, b, real, jax.random.PRNGKey(2), sched, nrr,
-                do_greg=True, do_dreg=True)
+                do_greg=do_greg, do_dreg=do_dreg)
             return new_state
 
-        state = one_step(z, state)  # compile all 4 phases
-        jax.block_until_ready(state.params_G)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state = one_step(z + np.float32(i) * 1e-6, state)
-        jax.block_until_ready(state.params_G)
-        value = batch * iters / (time.perf_counter() - t0)
+        # time the three step flavors separately and combine at the
+        # reference's lazy-reg cadence (Greg every 4 G-steps, Dreg every
+        # 16 D-steps — train_next3d.py:366-367): the all-regs step bench
+        # previously reported the WORST step as if it were every step.
+        def timed(do_greg, do_dreg, n=max(2, iters // 2)):
+            nonlocal state
+            state = one_step(z, state, do_greg, do_dreg)  # compile
+            jax.block_until_ready(state.params_G)
+            t0 = time.perf_counter()
+            for i in range(n):
+                state = one_step(z + np.float32(i) * 1e-6, state,
+                                 do_greg, do_dreg)
+            jax.block_until_ready(state.params_G)
+            return (time.perf_counter() - t0) / n
+
+        t_plain = timed(False, False)
+        t_greg = timed(True, False)
+        t_dreg = timed(False, True)
+        t_avg = t_plain + (t_greg - t_plain) / 4 + (t_dreg - t_plain) / 16
+        print(f'step seconds: plain {t_plain:.3f}, +Greg {t_greg:.3f}, '
+              f'+Dreg(R1) {t_dreg:.3f}; schedule-amortized {t_avg:.3f}',
+              file=sys.stderr)
+        value = batch / t_avg
         metric = '512px_train_step_imgs_per_sec_per_chip'
     else:
         @jax.jit
