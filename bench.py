@@ -77,7 +77,8 @@ def main():
     G = TriPlaneGenerator(
         z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,
         topology_path=ge.DEMO_OBJ, rendering_kwargs=rk,
-        sr_num_fp16_res=4, force_fp32=not use_bf16)
+        sr_num_fp16_res=4, force_fp32=not use_bf16,
+        rasterizer_impl=os.environ.get('NEXT3D_BENCH_RASTER', 'auto'))
     params = G.init(jax.random.PRNGKey(0))
 
     z = np.random.RandomState(0).randn(batch, 512).astype(np.float32)
