@@ -145,6 +145,9 @@ if __name__ == '__main__':
     if which in ('all', 'c'):
         bench_lane(32, 65536, jnp.float32, reps=4, iters=5)
         bench_lane(8, 65536, jnp.float32, reps=4, iters=5)
+        # production 2x2-packed layout: (4C, (H/2)*(W/2)) bf16
+        bench_lane(128, 16384, jnp.bfloat16, reps=4, iters=5)
+        bench_lane(8, 16384, jnp.float32, reps=8, iters=10)
     if which in ('all', 'd'):
         bench_sub(256, 8192, jnp.float32, reps=4, iters=5)
         bench_sub(256, 1024, jnp.float32, reps=8, iters=10)
