@@ -232,6 +232,15 @@ class ImportanceRenderer:
                 tile_samples=options.get('fused_tile_samples', 1024),
                 slab_h=options.get('fused_slab_h', None),
                 precision=options.get('fused_precision', 'bf16'))
+        elif options.get('fused_gather_sampling', False):
+            # round-3 candidate: VMEM-resident tables + tpu.dynamic_gather
+            # (ops/pallas_gather_sample.py) — emits the plane MEAN directly;
+            # a singleton plane axis keeps the decoder's mean a no-op.
+            # Non-differentiable: inference/bench only.
+            from ..ops.pallas_gather_sample import sample_planes_mean_fused
+            sampled_features = sample_planes_mean_fused(
+                planes, sample_coordinates, options['box_warp'],
+                options.get('gather_bf16', True))[:, None]
         else:
             sampled_features = sample_from_planes(
                 planes, sample_coordinates, box_warp=options['box_warp'],

@@ -13,10 +13,13 @@ timeout 600 python -c "import jax; print(jax.devices())" || exit 1
 # 1. verify drive: flagship fwd on-chip, UV kernel vs tiled (correctness)
 timeout 1200 python /tmp/verify_drive.py 2>&1 | tee /tmp/tpu_verify.log
 
-# 2. headline bench A/B: UV-emitting binned kernel (auto) vs tiled
+# 2. headline bench A/B: UV-emitting binned kernel (auto) vs tiled,
+#    then the fused VMEM-gather sampler (round-3 candidate)
 timeout 1800 python bench.py 2>&1 | tee /tmp/tpu_bench_auto.log
 NEXT3D_BENCH_RASTER=tiled timeout 1800 python bench.py 2>&1 \
     | tee /tmp/tpu_bench_tiled.log
+NEXT3D_BENCH_FUSED_GATHER=1 timeout 1800 python bench.py 2>&1 \
+    | tee /tmp/tpu_bench_fusedgather.log
 
 # 3. train + reenact modes (BENCH_extra artifacts; VERDICT r2 #3)
 NEXT3D_BENCH_MODE=train NEXT3D_BENCH_BATCH=4 timeout 3600 python bench.py \
