@@ -49,11 +49,14 @@ def _measure(fn, args, batch, iters):
     import jax
     img = fn(*args)
     jax.block_until_ready(img)
+    # vary inputs (defeats identical-dispatch caching in remote-TPU clients,
+    # matches real serving), but PRE-STAGE the variations on device so the
+    # timed loop issues exactly one dispatch per iteration
+    staged = [jax.device_put(args[0] + np.float32(i) * 1e-6)
+              for i in range(iters)]
+    jax.block_until_ready(staged)
     t0 = time.perf_counter()
-    for i in range(iters):
-        # vary inputs: defeats identical-dispatch caching in remote-TPU
-        # clients and matches real serving (new latents per call)
-        a0 = args[0] + np.float32(i) * 1e-6
+    for a0 in staged:
         img = fn(a0, *args[1:])
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
