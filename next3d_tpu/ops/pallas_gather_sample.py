@@ -44,16 +44,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(coords_ref, tables_ref, out_ref, *, H, W, n_planes):
+def _kernel(coords_ref, tables_ref, out_ref, *, H, W, n_planes, sub):
     # coords block: (1, 1, 3, L) f32 — rows x, y, z, scaled by 2/box_warp
-    # tables block: (1, 3, 1, 8, L) — L = H*W
-    # out block:    (1, 1, 1, 8, L) f32 — mean over planes, channels [8g:8g+8)
+    # tables block: (1, 3, 1, sub, L) — L = H*W
+    # out block:    (1, 1, 1, sub, L) f32 — plane mean, channel group g
     L = H * W
     x = coords_ref[0, 0, 0:1, :]                       # (1, L) f32
     y = coords_ref[0, 0, 1:2, :]
     z = coords_ref[0, 0, 2:3, :]
 
-    acc = jnp.zeros((8, L), jnp.float32)
+    acc = jnp.zeros((sub, L), jnp.float32)
     for p in range(n_planes):
         u, v = ((x, y), (x, z), (z, y))[p]
         px = (u + 1.0) * (W / 2) - 0.5
@@ -64,7 +64,7 @@ def _kernel(coords_ref, tables_ref, out_ref, *, H, W, n_planes):
         wy1 = py - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-        tbl = tables_ref[0, p, 0]                      # (8, L)
+        tbl = tables_ref[0, p, 0]                      # (sub, L)
         for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
             yi = y0i + dy
             yv = (yi >= 0) & (yi < H)
@@ -73,7 +73,7 @@ def _kernel(coords_ref, tables_ref, out_ref, *, H, W, n_planes):
                 xi = x0i + dx
                 valid = yv & (xi >= 0) & (xi < W)
                 idx = yc * W + jnp.clip(xi, 0, W - 1)  # (1, L)
-                idx = jnp.broadcast_to(idx, (8, L))
+                idx = jnp.broadcast_to(idx, (sub, L))
                 g = jnp.take_along_axis(tbl, idx, axis=1,
                                         mode='promise_in_bounds')
                 w = jnp.where(valid, wx * wy, 0.0)     # (1, L) f32
@@ -81,21 +81,24 @@ def _kernel(coords_ref, tables_ref, out_ref, *, H, W, n_planes):
     out_ref[0, 0, 0] = acc * (1.0 / n_planes)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def sample_planes_mean_fused(plane_features, coordinates, box_warp,
-                             gather_bf16=True, interpret=False):
+                             gather_bf16=True, interpret=False, sub=8):
     """(N, 3, C, H, W), (N, M, 3) -> (N, M, C): plane-MEAN features, equal to
-    ``sample_from_planes(planes, coords, box_warp).mean(axis=1)``."""
+    ``sample_from_planes(planes, coords, box_warp).mean(axis=1)``.
+
+    ``sub`` = sublane rows per channel group (8 default; 4 halves the VMEM
+    working set at 2x the gather count — the hardware A/B picks)."""
     plane_features = jax.lax.stop_gradient(plane_features)
     coordinates = jax.lax.stop_gradient(coordinates)
     N, n_planes, C, H, W = plane_features.shape
-    assert n_planes == 3 and C % 8 == 0
-    G = C // 8
+    assert n_planes == 3 and C % sub == 0
+    G = C // sub
     L = H * W
     M = coordinates.shape[1]
     T = -(-M // L)
 
-    tables = plane_features.reshape(N, 3, G, 8, L)
+    tables = plane_features.reshape(N, 3, G, sub, L)
     if gather_bf16 and tables.dtype == jnp.float32:
         tables = tables.astype(jnp.bfloat16)
 
@@ -105,18 +108,18 @@ def sample_planes_mean_fused(plane_features, coordinates, box_warp,
     coords = coords.reshape(N, T, L, 3).transpose(0, 1, 3, 2)  # (N,T,3,L)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, n_planes=3),
+        functools.partial(_kernel, H=H, W=W, n_planes=3, sub=sub),
         grid=(N, G, T),
         in_specs=[
             pl.BlockSpec((1, 1, 3, L), lambda b, g, t: (b, t, 0, 0)),
-            pl.BlockSpec((1, 3, 1, 8, L), lambda b, g, t: (b, 0, g, 0, 0)),
+            pl.BlockSpec((1, 3, 1, sub, L), lambda b, g, t: (b, 0, g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, 8, L),
+        out_specs=pl.BlockSpec((1, 1, 1, sub, L),
                                lambda b, g, t: (b, g, t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, G, T, 8, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, G, T, sub, L), jnp.float32),
         interpret=interpret,
     )(coords, tables)
 
-    # (N, G, T, 8, L) -> (N, T*L, G*8) -> (N, M, C)
+    # (N, G, T, sub, L) -> (N, T*L, G*sub) -> (N, M, C)
     out = out.transpose(0, 2, 4, 1, 3).reshape(N, T * L, C)
     return out[:, :M]

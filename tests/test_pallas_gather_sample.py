@@ -48,3 +48,22 @@ def test_aot_lowers_for_tpu(rng):
     coords = jnp.zeros((1, 65536, 3), jnp.float32)
     jax.jit(sample_planes_mean_fused.__wrapped__, static_argnums=(2, 3, 4)).trace(
         planes, coords, 1.0, True, False).lower(lowering_platforms=("tpu",))
+
+
+def test_sub4_matches_interpret(rng):
+    from next3d_tpu.render.renderer import sample_from_planes
+    N, C, H, M = 1, 32, 32, 1024
+    planes = jnp.asarray(rng.randn(N, 3, C, H, H), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-0.6, 0.6, (N, M, 3)), jnp.float32)
+    ref = sample_from_planes(planes, coords, 1.0).mean(axis=1)
+    got = sample_planes_mean_fused(planes, coords, 1.0, False, True, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_sub4_aot_lowers_for_tpu():
+    planes = jnp.zeros((1, 3, 32, 256, 256), jnp.float32)
+    coords = jnp.zeros((1, 65536, 3), jnp.float32)
+    jax.jit(sample_planes_mean_fused.__wrapped__,
+            static_argnums=(2, 3, 4, 5)).trace(
+        planes, coords, 1.0, True, False, 4).lower(
+        lowering_platforms=("tpu",))
