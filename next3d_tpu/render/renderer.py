@@ -240,7 +240,8 @@ class ImportanceRenderer:
             from ..ops.pallas_gather_sample import sample_planes_mean_fused
             sampled_features = sample_planes_mean_fused(
                 planes, sample_coordinates, options['box_warp'],
-                options.get('gather_bf16', True))[:, None]
+                options.get('gather_bf16', True), False,
+                options.get('fused_gather_sub', 8))[:, None]
         else:
             sampled_features = sample_from_planes(
                 planes, sample_coordinates, box_warp=options['box_warp'],
