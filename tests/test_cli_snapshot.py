@@ -52,3 +52,37 @@ def test_gen_samples_and_videos_from_snapshot(tmp_path):
     vids = glob.glob(os.path.join(out2, "*"))
     assert vids and sum(os.path.getsize(v) for v in vids
                         if os.path.isfile(v)) > 1000
+
+
+def test_reenact_from_snapshot(tmp_path):
+    """reenact CLI end-to-end: snapshot + synthesized 3-frame driving dir
+    (dataset.json + per-frame .obj/.kpt2d, reference README.md:76-83)."""
+    import json
+    import shutil
+
+    G = TriPlaneGenerator(topology_path=f"{DEMO}/demo.obj", **G_KWARGS)
+    params = G.init(jax.random.PRNGKey(1))
+    snap = str(tmp_path / "snapshot.pkl")
+    save_snapshot(snap, params_G_ema=params,
+                  config={'G_kwargs': dict(G_KWARGS)})
+
+    drive = tmp_path / "drive"
+    drive.mkdir()
+    from next3d_tpu.cli.common import camera_label
+    labels = []
+    lms = np.loadtxt(f"{DEMO}/demo_kpt2d.txt")
+    for i in range(3):
+        stem = f"frame{i:03d}"
+        shutil.copy(f"{DEMO}/demo.obj", drive / f"{stem}.obj")
+        np.savetxt(drive / f"{stem}_kpt2d.txt", lms + 0.01 * i)
+        labels.append([f"{stem}.png",
+                       camera_label(0.05 * i, 0.0)[0].tolist()])
+    with open(drive / "dataset.json", "w") as f:
+        json.dump({"labels": labels}, f)
+
+    from next3d_tpu.cli.reenact import reenact
+    out = str(tmp_path / "reenact_out")
+    reenact(snap, str(drive), seeds=[0], outdir=out,
+            topology_path=f"{DEMO}/demo.obj")
+    made = [p for p in os.listdir(out)]
+    assert made, "reenact produced no output"
