@@ -28,8 +28,11 @@ in-kernel.
 
 Semantics: identical to ``sample_from_planes(...)`` followed by
 ``mean(axis=1)`` — grid_sample align_corners=False with zeros padding
-(out-of-image corners contribute zero weight). Non-differentiable (the
-inference/bench fast path; training keeps the XLA gather).
+(out-of-image corners contribute zero weight). Differentiable via
+custom_vjp: the backward pass recomputes through the XLA reference
+composition (scatter-add into planes + coord grads), so enabling the
+kernel under training is safe — forward takes the fast path, backward
+pays one XLA-gather vjp.
 """
 
 from __future__ import annotations
@@ -89,8 +92,31 @@ def sample_planes_mean_fused(plane_features, coordinates, box_warp,
 
     ``sub`` = sublane rows per channel group (8 default; 4 halves the VMEM
     working set at 2x the gather count — the hardware A/B picks)."""
-    plane_features = jax.lax.stop_gradient(plane_features)
-    coordinates = jax.lax.stop_gradient(coordinates)
+
+    @jax.custom_vjp
+    def sample(planes, coords):
+        return _sample_impl(planes, coords, box_warp, gather_bf16,
+                            interpret, sub)
+
+    def sample_fwd(planes, coords):
+        return sample(planes, coords), (planes, coords)
+
+    def sample_bwd(res, g):
+        planes, coords = res
+        from ..render.renderer import sample_from_planes
+
+        def ref(p, c):
+            return sample_from_planes(p, c, box_warp=box_warp,
+                                      gather_bf16=gather_bf16).mean(axis=1)
+
+        return jax.vjp(ref, planes, coords)[1](g)
+
+    sample.defvjp(sample_fwd, sample_bwd)
+    return sample(plane_features, coordinates)
+
+
+def _sample_impl(plane_features, coordinates, box_warp, gather_bf16,
+                 interpret, sub):
     N, n_planes, C, H, W = plane_features.shape
     assert n_planes == 3 and C % sub == 0
     G = C // sub

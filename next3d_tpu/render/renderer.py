@@ -230,17 +230,19 @@ class ImportanceRenderer:
                 # path in clean runs — it is an opt-in experimental kernel;
                 # see ops/pallas_triplane.py for the measured numbers
                 tile_samples=options.get('fused_tile_samples', 1024),
-                slab_h=options.get('fused_slab_h', None),
-                precision=options.get('fused_precision', 'bf16'))
+                precision=options.get('fused_precision', 'bf16'),
+                # interpret=True runs the kernel on CPU (tests/CI)
+                interpret=options.get('fused_interpret', False))
         elif options.get('fused_gather_sampling', False):
             # round-3 candidate: VMEM-resident tables + tpu.dynamic_gather
             # (ops/pallas_gather_sample.py) — emits the plane MEAN directly;
             # a singleton plane axis keeps the decoder's mean a no-op.
-            # Non-differentiable: inference/bench only.
+            # Differentiable (custom_vjp recomputes via the XLA path).
             from ..ops.pallas_gather_sample import sample_planes_mean_fused
             sampled_features = sample_planes_mean_fused(
                 planes, sample_coordinates, options['box_warp'],
-                options.get('gather_bf16', True), False,
+                options.get('gather_bf16', True),
+                options.get('fused_interpret', False),
                 options.get('fused_gather_sub', 8))[:, None]
         else:
             sampled_features = sample_from_planes(

@@ -67,3 +67,27 @@ def test_sub4_aot_lowers_for_tpu():
             static_argnums=(2, 3, 4, 5)).trace(
         planes, coords, 1.0, True, False, 4).lower(
         lowering_platforms=("tpu",))
+
+
+def test_grad_matches_xla_path(rng):
+    """custom_vjp backward: grads of sum(kernel output) w.r.t. planes AND
+    coords must equal the XLA composition's grads (the backward recomputes
+    through sample_from_planes(...).mean(axis=1))."""
+    N, C, H, M = 1, 32, 16, 1024
+    planes = jnp.asarray(rng.randn(N, 3, C, H, H), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-0.6, 0.6, (N, M, 3)), jnp.float32)
+
+    def via_kernel(p, c):
+        out = sample_planes_mean_fused(p, c, 1.0, False, True)
+        return jnp.sum(out * out)
+
+    def via_xla(p, c):
+        out = sample_from_planes(p, c, 1.0).mean(axis=1)
+        return jnp.sum(out * out)
+
+    gk = jax.grad(via_kernel, argnums=(0, 1))(planes, coords)
+    gx = jax.grad(via_xla, argnums=(0, 1))(planes, coords)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gx[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gx[1]),
+                               atol=1e-4, rtol=1e-4)

@@ -34,17 +34,17 @@ def test_fused_matches_xla_on_camera_coords(rng):
     coords = coords * 0.42  # keep projections inside the planes
     want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
     got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
-                                              tile_samples=512, slab_h=32,
+                                              tile_samples=512,
                                               interpret=True,
                                               precision='highest'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_fused_resident_mode_and_bf16_storage(rng):
-    """slab_h=None keeps the whole plane in persistent VMEM scratch — no
-    row-span constraint, so a hard side pose (yaw +0.6, unscaled coords
-    sweeping out of the box) must be exact at 'highest'. The bf16 path
-    stores the plane in bfloat16, so it only needs to match to bf16
+    """The whole plane lives in persistent VMEM scratch — no row-span
+    constraint, so a hard side pose (yaw +0.6, unscaled coords sweeping
+    out of the box) must be exact at 'highest'. The bf16 path runs
+    DEFAULT-precision dots, so it only needs to match to bf16
     rounding."""
     planes = jnp.asarray(rng.randn(1, 3, 8, 64, 64).astype(np.float32))
     import math
@@ -77,22 +77,21 @@ def test_fused_zeros_padding_exact(rng):
     coords = _camera_coords(n=1, rays=256, steps=32)  # z exceeds the box
     want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
     got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
-                                              tile_samples=512, slab_h=64,
+                                              tile_samples=512,
                                               interpret=True,
                                               precision='highest'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_fused_large_tiles_match_xla(rng):
-    """tile_samples=1024 (the TPU-fast configuration) must stay exact: a
-    bigger tile spans more plane rows, so this guards the slab-coverage
-    margin on renderer-like access patterns."""
+    """tile_samples=1024 (the TPU-fast configuration) must stay exact on
+    renderer-like access patterns."""
     planes = jnp.asarray(rng.randn(1, 3, 8, 64, 64).astype(np.float32))
     coords = _camera_coords(n=1, rays=1024, steps=32)  # M = 32768
     coords = coords * 0.42
     want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
     got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
-                                              tile_samples=1024, slab_h=32,
+                                              tile_samples=1024,
                                               interpret=True,
                                               precision='highest'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
@@ -107,7 +106,7 @@ def test_fused_matches_xla_on_grid_coords(rng):
     coords = jnp.asarray(samples[None])  # (1, 32768, 3)
     want = np.asarray(sample_from_planes(planes, coords, box_warp=1.0))
     got = np.asarray(sample_from_planes_fused(planes, coords, box_warp=1.0,
-                                              tile_samples=512, slab_h=24,
+                                              tile_samples=512,
                                               interpret=True,
                                               precision='highest'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -291,3 +291,20 @@ def test_pallas_binned_uv_matches_interpolate_interpret():
     # uncovered pixels emit exactly zero
     assert np.all(np.asarray(u)[~covered] == 0)
     assert np.all(np.asarray(v_)[~covered] == 0)
+
+
+def test_pallas_binned_kernels_aot_lower_for_tpu():
+    """Mosaic lowering preflight at PRODUCTION shapes (batch-4 single view,
+    FLAME 9976 faces, 256^2, max_seg=8192) for both binned kernels — the
+    TPU-default rasterizer path must never hit an unsupported-op lowering
+    regression on hardware we cannot reach from CI."""
+    from next3d_tpu.ops.pallas_raster import (
+        rasterize_mesh_pallas_binned, rasterize_mesh_pallas_binned_uv)
+    B, F, H = 4, 9976, 256
+    verts = jnp.zeros((B, 5023, 3), jnp.float32)
+    faces = jnp.zeros((F, 3), jnp.int32)
+    attrs = jnp.zeros((1, F, 3, 2), jnp.float32)
+    jax.jit(rasterize_mesh_pallas_binned, static_argnums=(2, 3)).trace(
+        verts, faces, H, 8192).lower(lowering_platforms=("tpu",))
+    jax.jit(rasterize_mesh_pallas_binned_uv, static_argnums=(3, 4)).trace(
+        verts, faces, attrs, H, 8192).lower(lowering_platforms=("tpu",))

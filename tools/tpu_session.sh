@@ -20,12 +20,15 @@ NEXT3D_BENCH_RASTER=tiled timeout 1800 python bench.py 2>&1 \
     | tee /tmp/tpu_bench_tiled.log
 NEXT3D_BENCH_FUSED_GATHER=1 timeout 1800 python bench.py 2>&1 \
     | tee /tmp/tpu_bench_fusedgather.log
+NEXT3D_BENCH_FUSED_GATHER=1 NEXT3D_BENCH_FUSED_SUB=4 timeout 1800 \
+    python bench.py 2>&1 | tee /tmp/tpu_bench_fusedgather_sub4.log
+NEXT3D_BENCH_SWEEP=1 timeout 1800 python bench.py 2>&1 \
+    | tee /tmp/tpu_bench_sweep.log
 
-# 3. train + reenact modes (BENCH_extra artifacts; VERDICT r2 #3)
-NEXT3D_BENCH_MODE=train NEXT3D_BENCH_BATCH=4 timeout 3600 python bench.py \
-    2>&1 | tee /tmp/tpu_bench_train.log
-NEXT3D_BENCH_MODE=reenact timeout 1800 python bench.py 2>&1 \
-    | tee /tmp/tpu_bench_reenact.log
+# 3. train + reenact + synthesis -> committed BENCH_extra.json
+#    (VERDICT r2 #3)
+timeout 9000 python tools/make_bench_extra.py 2>&1 \
+    | tee /tmp/tpu_bench_extra.log
 
 # 4. stage profiles (current hot-spot truth)
 timeout 1800 python tools/profile_stages2.py 2>&1 | tee /tmp/tpu_stages.log
