@@ -19,8 +19,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_mode(mode, extra_env=None, timeout=3600):
+    # append (not overwrite) PYTHONPATH: the TPU tunnel registers its jax
+    # backend via a site dir already on PYTHONPATH
+    pp = os.pathsep.join(p for p in (ROOT, os.environ.get('PYTHONPATH'))
+                         if p)
     env = dict(os.environ, NEXT3D_BENCH_MODE=mode,
-               PYTHONPATH=ROOT, **(extra_env or {}))
+               PYTHONPATH=pp, **(extra_env or {}))
     t0 = time.time()
     p = subprocess.run([sys.executable, os.path.join(ROOT, 'bench.py')],
                        env=env, capture_output=True, text=True,

@@ -5,7 +5,9 @@
 # mid-session loss of the chip still leaves the most important numbers.
 set -x
 cd "$(dirname "$0")/.."
-export PYTHONPATH=$PWD
+# append, don't overwrite: the TPU tunnel's jax backend registers via a
+# site dir already on PYTHONPATH
+export PYTHONPATH=$PWD${PYTHONPATH:+:$PYTHONPATH}
 
 # 0. liveness (fails fast if the relay is down)
 timeout 600 python -c "import jax; print(jax.devices())" || exit 1
