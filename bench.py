@@ -77,10 +77,6 @@ def main():
     rk = dict(ge.RENDER_KW_FFHQ)
     if os.environ.get('NEXT3D_BENCH_FUSED', '0') == '1':
         rk['fused_plane_sampling'] = True
-    if os.environ.get('NEXT3D_BENCH_FUSED_GATHER', '0') == '1':
-        rk['fused_gather_sampling'] = True
-        rk['fused_gather_sub'] = int(
-            os.environ.get('NEXT3D_BENCH_FUSED_SUB', '8'))
     G = TriPlaneGenerator(
         z_dim=512, c_dim=25, w_dim=512, img_resolution=512, img_channels=3,
         topology_path=ge.DEMO_OBJ, rendering_kwargs=rk,

@@ -31,10 +31,17 @@ grouped-patch mode reading small dynamically-anchored 2D windows —
 1130 ms vs 159 ms XLA even at ~30x fewer MACs): matmul-based gather
 emulation cannot win at C=32 on 256^2 planes at ANY patch size — the
 one-hot matmul floor (patch_area*C FLOP/sample) stays far above XLA's
-native gather (~67 ns/sample*plane). Beating the XLA gather needs a true
-VPU gather; that successor is ops/pallas_gather_sample.py
-(tpu.dynamic_gather over VMEM-resident channel-grouped tables,
-rendering_kwargs['fused_gather_sampling']).
+native gather (~67 ns/sample*plane). Beating the XLA gather would need a
+true VPU gather over a VMEM-resident table; round 3 built one on
+tpu.dynamic_gather and hardware REFUSED it: Mosaic lowers dynamic_gather
+as a single-vreg lane shuffle — "Multiple source vregs along gather
+dimension" for any table wider than 128 lanes (and 32-bit indices require
+32-bit data), so a 256x256=65536-entry plane table can never be indexed
+in-kernel by this primitive, with any dtype or channel grouping. Both
+in-kernel gather formulations (MXU one-hot matmul, VPU dynamic_gather)
+are therefore pinned dead ends on this toolchain; XLA's native gather on
+2x2-packed rows (render/renderer.py sample_from_planes) is the production
+tri-plane sampling path.
 
 Pitfall that cost a day: RESOURCE_EXHAUSTED from a remote-TPU run can be
 HBM exhaustion of the WHOLE program (an oversized validation harness),

@@ -156,16 +156,30 @@ def sample_pdf(rng, bins, weights, N_importance, det=False, eps=1e-5):
     else:
         u = jax.random.uniform(rng, (R, N_importance), jnp.float32)
 
-    # searchsorted(side='right') as a dense comparison count — one (R, K, B+1)
-    # boolean reduce instead of R vmapped binary searches (TPU-friendly)
-    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1).astype(jnp.int32)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, B)
-
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=1)
-    bins_g0 = jnp.take_along_axis(bins, below, axis=1)
-    bins_g1 = jnp.take_along_axis(bins, above, axis=1)
+    # searchsorted(side='right') + the 4 bracket lookups, all GATHER-FREE:
+    # TPU gathers are per-row bound (~67 ns/row), so 4x take_along_axis of
+    # (R, K) from (R, B+1) costs ~70 ms for the batch-8 FFHQ render; since
+    # cdf is STRICTLY increasing (weights + eps) and bins is sorted, the
+    # bracketing values are masked min/max reductions over one (R, K, B+1)
+    # comparison tensor instead — bit-identical values, pure VPU, <1 ms.
+    #   below = last b with cdf[b] <= u  -> max of cdf/bins where cdf <= u
+    #   above = first b with cdf[b] > u  -> min of cdf/bins where cdf > u
+    #           (no such b => above = B, the old min(inds, B) clamp)
+    # bins may be WIDER than cdf (the renderer passes z_mid (R, S-1) with
+    # marcher weights (R, S-1) -> cdf (R, S-2+1)); index clamping means
+    # columns past cdf's width were never selectable — truncate to match.
+    bins = bins[:, :B + 1]
+    le = cdf[:, None, :] <= u[:, :, None]            # (R, K, B+1)
+    cdf_b = jnp.broadcast_to(cdf[:, None, :], le.shape)
+    bins_b = jnp.broadcast_to(bins[:, None, :], le.shape)
+    ninf = -jnp.inf
+    pinf = jnp.inf
+    cdf_g0 = jnp.max(jnp.where(le, cdf_b, ninf), axis=-1)
+    bins_g0 = jnp.max(jnp.where(le, bins_b, ninf), axis=-1)
+    cdf_g1 = jnp.min(jnp.where(le, pinf, cdf_b), axis=-1)
+    bins_g1 = jnp.min(jnp.where(le, pinf, bins_b), axis=-1)
+    cdf_g1 = jnp.where(jnp.isposinf(cdf_g1), cdf[:, -1:], cdf_g1)
+    bins_g1 = jnp.where(jnp.isposinf(bins_g1), bins[:, -1:], bins_g1)
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -233,17 +247,6 @@ class ImportanceRenderer:
                 precision=options.get('fused_precision', 'bf16'),
                 # interpret=True runs the kernel on CPU (tests/CI)
                 interpret=options.get('fused_interpret', False))
-        elif options.get('fused_gather_sampling', False):
-            # round-3 candidate: VMEM-resident tables + tpu.dynamic_gather
-            # (ops/pallas_gather_sample.py) — emits the plane MEAN directly;
-            # a singleton plane axis keeps the decoder's mean a no-op.
-            # Differentiable (custom_vjp recomputes via the XLA path).
-            from ..ops.pallas_gather_sample import sample_planes_mean_fused
-            sampled_features = sample_planes_mean_fused(
-                planes, sample_coordinates, options['box_warp'],
-                options.get('gather_bf16', True),
-                options.get('fused_interpret', False),
-                options.get('fused_gather_sub', 8))[:, None]
         else:
             sampled_features = sample_from_planes(
                 planes, sample_coordinates, box_warp=options['box_warp'],

@@ -263,44 +263,3 @@ def test_dp_grads_match_manual_shard_average(setup, rng):
     d_manual = jax.tree.map(lambda x: x / n_dev, acc)
 
     _assert_grads_close(d_spmd, d_manual)
-
-
-def test_train_step_with_fused_gather_sampler(rng):
-    """All four phases with rendering_kwargs['fused_gather_sampling']: the
-    Greg density-reg phase differentiates THROUGH the Pallas dyngather
-    sampler, exercising its custom_vjp (backward recomputes via the XLA
-    path) inside the jitted train step. Single device, interpret-mode
-    kernel."""
-    import os
-    if not os.path.exists(DEMO):
-        pytest.skip("demo mesh absent")
-    rk = dict(RENDER_KW, fused_gather_sampling=True, fused_interpret=True,
-              superresolution_noise_mode='none')
-    G = TriPlaneGenerator(
-        z_dim=32, c_dim=25, w_dim=512, img_resolution=128, img_channels=3,
-        topology_path=DEMO, rendering_kwargs=rk,
-        channel_base=1024, channel_max=64, rasterizer_face_chunk=9976,
-        plane_resolution=64, rasterizer_patch=12)
-    D = DualDiscriminator(c_dim=25, img_resolution=128, img_channels=3,
-                          channel_base=1024, channel_max=64)
-    loss = StyleGAN2Loss(G, D, LossConfig(
-        r1_gamma=4.0, gpc_reg_prob=None, density_reg=0.25,
-        neural_rendering_resolution_initial=32, blur_init_sigma=0.0))
-    step = TrainStep(loss,
-                     make_optimizer(0.0025, 0.0, 0.99, 1e-8, reg_interval=4),
-                     make_optimizer(0.002, 0.0, 0.99, 1e-8, reg_interval=16),
-                     mesh=data_parallel_mesh(jax.devices()[:1]))
-    state = step.init_state(jax.random.PRNGKey(0))
-    batch, real = _batch(rng, n=2)
-    batch['gen_z'] = batch['gen_z'][:, :32]
-    sched, nrr = loss.schedules(0)
-    new_state, stats = step.run_phases(
-        state, batch, real, jax.random.PRNGKey(1), sched, nrr,
-        do_greg=True, do_dreg=True)
-    for k in ('Loss/G/loss', 'Loss/D/loss', 'Loss/G/reg', 'Loss/r1_penalty'):
-        assert np.isfinite(float(stats[k])), (k, stats[k])
-    old_w = np.asarray(state.params_G['backbone']['synthesis']
-                       ['b4']['conv1']['weight'])
-    new_w = np.asarray(new_state.params_G['backbone']['synthesis']
-                       ['b4']['conv1']['weight'])
-    assert np.abs(new_w - old_w).max() > 0  # grads flowed through sampler

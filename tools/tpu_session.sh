@@ -20,10 +20,6 @@ timeout 1200 python /tmp/verify_drive.py 2>&1 | tee /tmp/tpu_verify.log
 timeout 1800 python bench.py 2>&1 | tee /tmp/tpu_bench_auto.log
 NEXT3D_BENCH_RASTER=tiled timeout 1800 python bench.py 2>&1 \
     | tee /tmp/tpu_bench_tiled.log
-NEXT3D_BENCH_FUSED_GATHER=1 timeout 1800 python bench.py 2>&1 \
-    | tee /tmp/tpu_bench_fusedgather.log
-NEXT3D_BENCH_FUSED_GATHER=1 NEXT3D_BENCH_FUSED_SUB=4 timeout 1800 \
-    python bench.py 2>&1 | tee /tmp/tpu_bench_fusedgather_sub4.log
 NEXT3D_BENCH_SWEEP=1 timeout 1800 python bench.py 2>&1 \
     | tee /tmp/tpu_bench_sweep.log
 
