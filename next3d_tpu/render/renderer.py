@@ -144,6 +144,14 @@ def sample_pdf(rng, bins, weights, N_importance, det=False, eps=1e-5):
     """Inverse-CDF sampling (reference :229-268).
 
     bins: (R, B+1); weights: (R, B) -> samples (R, N_importance).
+
+    Invariants (required by the gather-free bracket selection below, which
+    picks bracket values by masked max/min over VALUES rather than by
+    position): ``bins`` must be non-decreasing along the last axis and
+    ``u`` is drawn from [0, 1) (so with cdf[0] == 0 the lower bracket is
+    never -inf). Both hold for the internal caller (sorted z_mid midpoints,
+    internally generated uniform/linspace u); external callers with
+    unsorted bins must sort first.
     """
     R, B = weights.shape
     weights = weights + eps
