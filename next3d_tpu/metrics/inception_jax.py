@@ -320,15 +320,96 @@ def convert_torchscript_inception(path):
     return params
 
 
+PARITY_TOL = 5e-2  # matches the golden test (tests/test_inception_jax.py)
+
+
+def _attest_batch():
+    """The fixed attestation input (seeded, so the record is reproducible)."""
+    return np.random.RandomState(0).randint(
+        0, 256, (4, 3, 128, 128)).astype(np.uint8)
+
+
+def attest_parity(path, params, oracle=None, tol=PARITY_TOL,
+                  sidecar=True):
+    """Converted-weight parity attestation (VERDICT r3 #4).
+
+    Runs the converted JAX graph against the TorchScript torch-CPU oracle
+    on a fixed input batch and records (input hash -> max-abs feature
+    delta). Raises RuntimeError when the delta exceeds ``tol`` so callers
+    REFUSE an unvalidated converted detector instead of silently producing
+    non-comparable FID numbers. A passing record is cached in a sidecar
+    JSON next to the pickle (keyed by the pickle's size+mtime) so later
+    runs skip the torch forward.
+
+    ``oracle`` is injectable for tests: callable uint8 NCHW -> (N, 2048).
+    """
+    import json
+    import os
+    try:
+        st = os.stat(path)
+        sig = f'{st.st_size}:{int(st.st_mtime)}'
+    except OSError:
+        sig = 'unknown'
+        sidecar = False
+    side_path = path + '.jax_parity.json'
+    if sidecar and oracle is None and os.path.exists(side_path):
+        try:
+            with open(side_path) as f:
+                rec = json.load(f)
+            if rec.get('pickle_sig') == sig and \
+                    rec.get('max_abs_feature_delta', np.inf) <= rec.get(
+                        'tol', tol):
+                return rec
+        except (OSError, ValueError):
+            pass
+    imgs = _attest_batch()
+    if oracle is None:
+        import torch
+        model = torch.jit.load(path, map_location='cpu').eval()
+
+        def oracle(x):
+            with torch.no_grad():
+                return model(torch.as_tensor(np.ascontiguousarray(x)),
+                             return_features=True).numpy()
+    ref = np.asarray(oracle(imgs))
+    got = np.asarray(jax.jit(features)(params, jnp.asarray(imgs)))
+    delta = float(np.abs(got - ref).max())
+    rec = {'pickle_sig': sig,
+           'input_sha256': __import__('hashlib').sha256(
+               imgs.tobytes()).hexdigest()[:16],
+           'max_abs_feature_delta': delta, 'tol': tol}
+    if delta > tol:
+        raise RuntimeError(
+            f'converted Inception FAILED parity attestation: max-abs '
+            f'feature delta {delta:.4g} > tol {tol:g}; refusing the JAX '
+            f'detector (set NEXT3D_DETECTOR_IMPL=torch or fix the '
+            f'converter)')
+    if sidecar:
+        try:
+            with open(side_path, 'w') as f:
+                json.dump(rec, f)
+        except OSError:
+            pass  # read-only cache dir: attest again next process
+    return rec
+
+
 @functools.lru_cache(maxsize=1)
 def _cached_params(path):
     return convert_torchscript_inception(path)
 
 
+_ATTESTED: dict = {}
+
+
 def make_jax_detector(path, batch_jit=True):
     """Returns detect(uint8 NCHW) -> (N,2048) np features, running the
-    whole extraction on-device."""
+    whole extraction on-device. Conversion is gated on a parity
+    attestation vs the torch-CPU oracle (attest_parity) — an unvalidated
+    converted detector raises instead of silently extracting
+    non-comparable features."""
     params = _cached_params(path)
+    if path not in _ATTESTED:
+        _ATTESTED[path] = attest_parity(path, params)
     fn = features
     if batch_jit:
         fn = jax.jit(features)
@@ -343,6 +424,8 @@ def make_jax_probs_detector(path, batch_jit=True):
     output bias (the reference's detector_kwargs=dict(no_output_bias=True),
     inception_score.py:23)."""
     params = _cached_params(path)
+    if path not in _ATTESTED:
+        _ATTESTED[path] = attest_parity(path, params)
 
     def probs(params, imgs):
         logits = features(params, imgs, return_logits=True,

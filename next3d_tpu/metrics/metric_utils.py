@@ -110,7 +110,13 @@ def get_detector(opts: MetricOptions):
     Inception graph running ON-DEVICE with weights converted from the
     TorchScript pickle (inception_jax.py; VERDICT r2 #6) > the torch-CPU
     TorchScript escape hatch (NEXT3D_DETECTOR_IMPL=torch forces it — it
-    is the parity oracle for the converter)."""
+    is the parity oracle for the converter).
+
+    The JAX graph is only used after a parity ATTESTATION against the
+    torch-CPU oracle passes (inception_jax.attest_parity; VERDICT r3 #4):
+    conversion runs both stacks on a fixed batch, records the max-abs
+    feature delta, and raises on mismatch — so a failed conversion falls
+    back to the oracle here instead of silently shifting FID."""
     if opts.detector is not None:
         return opts.detector
     path = os.environ.get('NEXT3D_INCEPTION_PATH')

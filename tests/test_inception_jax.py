@@ -46,6 +46,43 @@ def test_batch_consistency(rng):
     np.testing.assert_allclose(f1[0], f2[0], atol=1e-5)
 
 
+def test_attestation_refuses_mismatched_weights(tmp_path, rng):
+    """attest_parity must RAISE when the converted graph disagrees with
+    the oracle (VERDICT r3 #4: no silent unvalidated detector)."""
+    params = inc.init_params(jax.random.PRNGKey(3))
+    fake_pkl = tmp_path / 'detector.pt'
+    fake_pkl.write_bytes(b'sentinel')
+
+    def wrong_oracle(imgs):
+        return np.full((imgs.shape[0], inc.NUM_FEATURES), 1e6, np.float32)
+
+    with pytest.raises(RuntimeError, match='parity attestation'):
+        inc.attest_parity(str(fake_pkl), params, oracle=wrong_oracle)
+    assert not os.path.exists(str(fake_pkl) + '.jax_parity.json')
+
+
+def test_attestation_records_and_caches(tmp_path):
+    """A passing attestation writes a sidecar record that short-circuits
+    the oracle on the next call (same pickle signature)."""
+    params = inc.init_params(jax.random.PRNGKey(4))
+    fake_pkl = tmp_path / 'detector.pt'
+    fake_pkl.write_bytes(b'sentinel')
+
+    def self_oracle(imgs):
+        return np.asarray(inc.features(params, jnp.asarray(imgs)))
+
+    rec = inc.attest_parity(str(fake_pkl), params, oracle=self_oracle)
+    assert rec['max_abs_feature_delta'] <= rec['tol']
+    side = str(fake_pkl) + '.jax_parity.json'
+    assert os.path.exists(side)
+
+    def exploding_oracle(imgs):  # must not be called: sidecar hit
+        raise AssertionError('oracle re-ran despite cached attestation')
+
+    rec2 = inc.attest_parity(str(fake_pkl), params, oracle=None)
+    assert rec2['max_abs_feature_delta'] == rec['max_abs_feature_delta']
+
+
 @pytest.mark.skipif(not os.path.exists(
     os.environ.get('NEXT3D_INCEPTION_PATH', '')),
     reason='Inception TorchScript pickle absent (zero-egress env)')
