@@ -92,6 +92,20 @@ def parse_metric_list(s):
               default=1000.0)
 @click.option('--blur-fade-kimg', type=float, default=200.0)
 @click.option('--plane-resolution', type=int, default=256)
+@click.option('--dataset-type', type=click.Choice(['image', 'video']),
+              default='image',
+              help='video = clip training with multi-frame discrimination '
+                   '(reference train_next3d.py:116-119)')
+@click.option('--num-frames-per-video', type=int, default=1,
+              help='frames per clip; D sees them as stacked channels '
+                   '(reference train_next3d.py:218, training_loop.py:172)')
+@click.option('--max-num-frames', type=int, default=1024,
+              help='cap on usable frames per clip (train_next3d.py:217)')
+@click.option('--max-dist', type=int, default=32,
+              help='temporal sampling window (train_next3d.py:216)')
+@click.option('--sampling-type', 'sampling_type',
+              type=click.Choice(['random', 'uniform', 'consecutive']),
+              default='random')
 @click.option('--dry-run', is_flag=True)
 def main(**opts):
     train(**opts)
@@ -116,7 +130,9 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
           neural_rendering_resolution_final=None,
           neural_rendering_resolution_fade_kimg=1000.0,
           blur_fade_kimg=200.0,
-          plane_resolution=256, dry_run=False):
+          plane_resolution=256, dataset_type='image',
+          num_frames_per_video=1, max_num_frames=1024, max_dist=32,
+          sampling_type='random', dry_run=False):
     import jax
 
     from ..data import ImageFolderDataset, make_data_iterator
@@ -145,16 +161,21 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         channel_base=channel_base, channel_max=channel_max,
         mapping_kwargs=dict(num_layers=map_depth),
         plane_resolution=plane_resolution)
-    d_common = dict(img_resolution=resolution, img_channels=3,
+    # video clips: D discriminates whole clips — frames stack on the channel
+    # axis and per-frame camera labels concatenate (reference
+    # training_loop.py:171-173: img_channels *= num_frames_per_video and the
+    # conditioning dim doubles; run_D folds (B*T, ...) back to (B, T*C, ...))
+    T = num_frames_per_video if dataset_type == 'video' else 1
+    d_common = dict(img_resolution=resolution, img_channels=3 * T,
                     channel_base=channel_base, channel_max=channel_max,
                     block_kwargs=dict(freeze_layers=freezed),
                     epilogue_kwargs=dict(mbstd_group_size=mbstd_group),
                     disc_c_noise=disc_c_noise)
     if gen_exp_cond:
         from ..nn import DualLabelDualDiscriminator
-        D = DualLabelDualDiscriminator(c_dim=25, c2_dim=50, **d_common)
+        D = DualLabelDualDiscriminator(c_dim=25 * T, c2_dim=50 * T, **d_common)
     else:
-        D = DualDiscriminator(c_dim=25, **d_common)
+        D = DualDiscriminator(c_dim=25 * T, **d_common)
 
     # resume-time schedule disabling (reference train_next3d.py:394-401)
     ada_kimg = 500
@@ -189,6 +210,7 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         neural_rendering_resolution_fade_kimg=neural_rendering_resolution_fade_kimg,
         blur_init_sigma=blur_init_sigma,
         blur_fade_kimg=blur_fade_kimg * batch_size / 32,
+        num_frames=T,
         dual_discrimination=True)
     from ..parallel import data_parallel_mesh
     loss_obj = StyleGAN2Loss(G, D, loss_cfg, augment_pipe=augment_pipe)
@@ -217,9 +239,16 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         print(json.dumps(config, indent=2, default=str))
         return
 
-    dataset = ImageFolderDataset(data_path, resolution=resolution,
-                                 xflip=mirror)
-    dataset.prebake()
+    if dataset_type == 'video':
+        from ..data.video_dataset import VideoFramesFolderDataset
+        dataset = VideoFramesFolderDataset(
+            data_path, resolution=resolution, num_frames=T,
+            sampling=sampling_type, max_frame_dist=max_dist,
+            max_num_frames=max_num_frames)
+    else:
+        dataset = ImageFolderDataset(data_path, resolution=resolution,
+                                     xflip=mirror)
+        dataset.prebake()
     it = make_data_iterator(dataset, batch_size,
                             rank=jax.process_index(),
                             num_replicas=jax.process_count(), seed=seed,

@@ -46,12 +46,15 @@ class VideoFramesFolderDataset:
     swap) with labels in dataset.json keyed by 'clip/frame' paths."""
 
     def __init__(self, path, resolution=None, num_frames=1, sampling='random',
-                 max_frame_dist=30, use_labels=True, load_verts=True,
-                 labels_file='dataset.json', seed=0):
+                 max_frame_dist=30, max_num_frames=None, use_labels=True,
+                 load_verts=True, labels_file='dataset.json', seed=0):
         self._path = path
         self.num_frames = num_frames
         self.sampling = sampling
         self.max_frame_dist = max_frame_dist
+        # cap on usable frames per clip (reference train loop:
+        # min(get_video_len(i), max_num_frames), training_loop.py:323)
+        self.max_num_frames = max_num_frames
         self.load_verts = load_verts
         self._rng = np.random.RandomState(seed)
 
@@ -74,10 +77,19 @@ class VideoFramesFolderDataset:
                 self._clips.append((clip, frames))
         if not self._clips:
             raise IOError(f'no clips under {path}')
+        if resolution is None:
+            from PIL import Image
+            clip0, frames0 = self._clips[0]
+            with Image.open(os.path.join(path, clip0, frames0[0])) as im:
+                resolution = im.size[0]
         self.resolution = resolution
 
     def __len__(self):
         return len(self._clips)
+
+    def _clip_len(self, idx):
+        n = len(self._clips[idx][1])
+        return min(n, self.max_num_frames) if self.max_num_frames else n
 
     @property
     def label_dim(self):
@@ -95,19 +107,27 @@ class VideoFramesFolderDataset:
         lms = mesh.replace('meshes', 'lms').replace('.obj', '.txt')
         return img, mesh, lms
 
-    def __getitem__(self, idx):
+    def get_label_std(self):
+        if not self._labels:
+            return np.zeros((0,), np.float32)
+        return np.asarray(list(self._labels.values()), np.float32).std(0)
+
+    def _load_frames(self, idx, sel, load_images=True):
+        """(T,C,H,W) uint8 images, (T,L) labels, (T,5091,3) verts+lms for
+        frame indices ``sel`` of clip ``idx``. ``load_images=False`` skips
+        image decode (conditioning draws need only labels+verts — the
+        reference's get_label/get_vert path, training_loop.py:326-333)."""
         from PIL import Image
         clip, frames = self._clips[idx]
-        sel = sample_frames(len(frames), self.num_frames, self.sampling,
-                            self.max_frame_dist, rng=self._rng)
         imgs, labels, verts = [], [], []
         for fi in sel:
             frame = frames[int(fi)]
             ipath, mpath, lpath = self._frame_paths(clip, frame)
-            img = np.asarray(Image.open(ipath))
-            if img.ndim == 2:
-                img = img[:, :, None]
-            imgs.append(img.transpose(2, 0, 1))
+            if load_images:
+                img = np.asarray(Image.open(ipath))
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                imgs.append(img.transpose(2, 0, 1))
             key = f'{clip}/{frame}'
             labels.append(np.asarray(self._labels.get(key, []), np.float32))
             if self.load_verts:
@@ -116,4 +136,28 @@ class VideoFramesFolderDataset:
                 verts.append(np.concatenate([v, l], 0))
         out_v = np.stack(verts) if verts else np.zeros((len(sel), 0, 3),
                                                        np.float32)
-        return (np.stack(imgs), np.stack(labels), out_v)
+        out_i = np.stack(imgs) if imgs else None
+        return (out_i, np.stack(labels), out_v)
+
+    def sample_conditioning(self, rnd, n):
+        """n generator-conditioning draws, each a fresh clip + per-clip
+        temporal frame sampling — the reference's per-video gen conditioning
+        (training_loop.py:323-333: random video index, sample_frames over its
+        length, get_label/get_vert per frame). Returns c (n, T, L) and
+        v (n, T, 5091, 3)."""
+        cs, vs = [], []
+        for _ in range(n):
+            idx = rnd.randint(len(self))
+            sel = sample_frames(self._clip_len(idx), self.num_frames,
+                                self.sampling, self.max_frame_dist, rng=rnd)
+            _, c, v = self._load_frames(idx, sel, load_images=False)
+            cs.append(c)
+            vs.append(v)
+        return (np.stack(cs).astype(np.float32),
+                np.stack(vs).astype(np.float32))
+
+    def __getitem__(self, idx):
+        sel = sample_frames(self._clip_len(idx), self.num_frames,
+                            self.sampling, self.max_frame_dist,
+                            rng=self._rng)
+        return self._load_frames(idx, sel)

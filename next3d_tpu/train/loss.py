@@ -101,10 +101,12 @@ class StyleGAN2Loss:
         self.resample_filter = setup_filter([1, 3, 3, 1])
         self.blur_max_size = int(np.floor(cfg.blur_init_sigma * 3))
 
-    def flatten_clips(self, batch, real_img):
+    def flatten_clips(self, batch, real_img=None):
         """Video training: (B, T, ...) clips -> (B*T, ...) with gen_z
         repeat-interleaved per frame (reference loss.py:102-108). D then sees
-        frames of a clip as extra channels via run_D's reshape."""
+        frames of a clip as extra channels via run_D's reshape. Called at the
+        top of every jitted phase (train_step.py) so the host feeds clip-
+        shaped batches untouched; a no-op when num_frames == 1."""
         T = self.cfg.num_frames
         if T <= 1:
             return batch, real_img
@@ -113,7 +115,8 @@ class StyleGAN2Loss:
         for k in ('gen_c', 'gen_v', 'real_c'):
             v = batch[k]
             out[k] = v.reshape((-1,) + v.shape[2:])
-        real_img = real_img.reshape((-1,) + real_img.shape[2:])
+        if real_img is not None:
+            real_img = real_img.reshape((-1,) + real_img.shape[2:])
         return out, real_img
 
     # ------------------------------------------------------------ schedules

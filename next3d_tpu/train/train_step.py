@@ -162,6 +162,7 @@ class TrainStep:
     @partial(jax.jit, static_argnums=(0, 7))
     def gmain(self, state_pg, state_og, params_D, batch, rng, sched, nrr):
         def local(rng, pg, pd, batch, sched):
+            batch, _ = self.loss.flatten_clips(batch)
             (loss, (stats, w_mean)), grads = jax.value_and_grad(
                 self.loss.gmain_loss, has_aux=True)(pg, pd, batch, rng,
                                                     sched, nrr)
@@ -178,6 +179,8 @@ class TrainStep:
     @partial(jax.jit, static_argnums=(0, 5))
     def greg(self, state_pg, state_og, batch, rng, gain, sched):
         def local(rng, pg, batch, sched):
+            batch, _ = self.loss.flatten_clips(batch)
+
             def scaled(pg):
                 loss, (stats,) = self.loss.greg_loss(pg, batch, rng, sched)
                 return loss * gain, stats
@@ -195,6 +198,7 @@ class TrainStep:
     def dmain(self, params_pd, state_od, params_G, batch, real_img, rng, sched,
               nrr):
         def local(rng, pd, pg, batch, real_img, sched):
+            batch, real_img = self.loss.flatten_clips(batch, real_img)
             real = self.loss.prepare_real(real_img, sched['blur_sigma'], nrr)
             real = jax.tree.map(jax.lax.stop_gradient, real)
             (loss, (stats, w_mean)), grads = jax.value_and_grad(
@@ -217,6 +221,7 @@ class TrainStep:
     @partial(jax.jit, static_argnums=(0, 5, 8))
     def dreg(self, params_pd, state_od, batch, real_img, gain, rng, sched, nrr):
         def local(rng, pd, batch, real_img, sched):
+            batch, real_img = self.loss.flatten_clips(batch, real_img)
             real = self.loss.prepare_real(real_img, sched['blur_sigma'], nrr)
             real = jax.tree.map(jax.lax.stop_gradient, real)
 
