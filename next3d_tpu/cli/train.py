@@ -249,7 +249,11 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         dataset = ImageFolderDataset(data_path, resolution=resolution,
                                      xflip=mirror)
         dataset.prebake()
-    it = make_data_iterator(dataset, batch_size,
+    # each host loads only ITS strided slice of the global batch
+    # (reference analog: rank-strided InfiniteSampler, misc.py:139)
+    assert batch_size % jax.process_count() == 0, \
+        (batch_size, jax.process_count())
+    it = make_data_iterator(dataset, batch_size // jax.process_count(),
                             rank=jax.process_index(),
                             num_replicas=jax.process_count(), seed=seed,
                             prefetch=workers)

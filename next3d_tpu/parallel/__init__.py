@@ -1,2 +1,3 @@
-from .mesh import data_parallel_mesh, shard_batch, replicate
+from .mesh import (data_parallel_mesh, replicate, shard_batch,
+                   shard_host_local_batch)
 from .stats import StatsCollector

@@ -19,7 +19,8 @@ from typing import Optional
 
 import numpy as np
 
-from ..parallel import StatsCollector, data_parallel_mesh, replicate, shard_batch
+from ..parallel import (StatsCollector, data_parallel_mesh, replicate,
+                        shard_batch, shard_host_local_batch)
 from ..utils.checkpoint import load_snapshot, save_snapshot
 
 
@@ -81,6 +82,7 @@ def training_loop(
     from ..utils.profiling import PhaseTimer
     from .augment import ada_update_p
 
+    is_main = jax.process_index() == 0  # file IO + console: rank 0 only
     os.makedirs(run_dir, exist_ok=True)
     mesh = data_parallel_mesh()
     rng = jax.random.PRNGKey(seed)
@@ -122,12 +124,13 @@ def training_loop(
         setattr(state, attr, replicate(getattr(state, attr), mesh))
 
     stats = StatsCollector()
-    stats_jsonl = open(os.path.join(run_dir, 'stats.jsonl'), 'at')
+    stats_jsonl = open(os.path.join(run_dir, 'stats.jsonl'), 'at') \
+        if is_main else None
     # per-tick TensorBoard scalars (reference training_loop.py:510-517);
     # dependency-free writer, scalars only
     from ..utils.tensorboard import SummaryWriter
-    tb_writer = SummaryWriter(run_dir)
-    if config is not None:
+    tb_writer = SummaryWriter(run_dir) if is_main else None
+    if config is not None and is_main:
         with open(os.path.join(run_dir, 'training_options.json'), 'wt') as f:
             json.dump(config, f, indent=2, default=str)
 
@@ -145,7 +148,11 @@ def training_loop(
         host_batch = next(data_iterator)
         timer._totals['data_fetch'] += time.perf_counter() - t_fetch
         timer._counts['data_fetch'] += 1
-        real_img = shard_batch(host_batch['image'], mesh)
+        # real batches are process-LOCAL (the data iterator strides by
+        # jax.process_index(), yielding batch_size/process_count rows/host);
+        # gen batches are computed identically on every process at the
+        # GLOBAL batch size from the shared seed
+        real_img = shard_host_local_batch(host_batch['image'], mesh)
         rng, k_z, k_step = jax.random.split(rng, 3)
         gen_z = np.asarray(jax.random.normal(
             k_z, (batch_size, G.z_dim), np.float32))
@@ -155,6 +162,9 @@ def training_loop(
         if dataset is not None:
             gen_c, gen_v = dataset.sample_conditioning(cond_rnd, batch_size)
         else:
+            assert jax.process_count() == 1, (
+                'multi-process training needs a dataset handle for '
+                'globally-consistent generator conditioning')
             perm = cond_rnd.permutation(batch_size)
             gen_c, gen_v = host_batch['c'][perm], host_batch['v'][perm]
         batch = shard_batch({
@@ -209,37 +219,45 @@ def training_loop(
 
         # ---- tick
         tick_time = time.time() - tick_start_time
-        line = (f"tick {tick:<5d} kimg {cur_nimg / 1e3:<8.1f} "
-                f"time {time.time() - start_time:<8.1f}s "
-                f"sec/kimg {tick_time / max((cur_nimg - tick_start_nimg) / 1e3, 1e-8):<7.2f} ")
-        for name in ('Loss/G/loss', 'Loss/D/loss'):
-            if name in stats.names():
-                line += f"{name.split('/')[-2]}loss {stats.mean(name):<6.3f} "
-        print(line, flush=True)
-        record = {'tick': tick, 'kimg': cur_nimg / 1e3,
-                  **{k: stats.mean(k) for k in stats.names()},
-                  **timer.report()}
-        record.update(_resource_stats())
-        stats_jsonl.write(json.dumps(record) + '\n')
-        stats_jsonl.flush()
-        for k, val in record.items():
-            if isinstance(val, (int, float)):
-                tb_writer.add_scalar(k, val, global_step=int(cur_nimg // 1e3))
-        tb_writer.flush()
+        if is_main:
+            line = (f"tick {tick:<5d} kimg {cur_nimg / 1e3:<8.1f} "
+                    f"time {time.time() - start_time:<8.1f}s "
+                    f"sec/kimg {tick_time / max((cur_nimg - tick_start_nimg) / 1e3, 1e-8):<7.2f} ")
+            for name in ('Loss/G/loss', 'Loss/D/loss'):
+                if name in stats.names():
+                    line += f"{name.split('/')[-2]}loss {stats.mean(name):<6.3f} "
+            print(line, flush=True)
+            record = {'tick': tick, 'kimg': cur_nimg / 1e3,
+                      **{k: stats.mean(k) for k in stats.names()},
+                      **timer.report()}
+            record.update(_resource_stats())
+            stats_jsonl.write(json.dumps(record) + '\n')
+            stats_jsonl.flush()
+            for k, val in record.items():
+                if isinstance(val, (int, float)):
+                    tb_writer.add_scalar(k, val,
+                                         global_step=int(cur_nimg // 1e3))
+            tb_writer.flush()
         stats.reset()
         timer.reset()
         if progress_fn is not None:
             progress_fn(cur_nimg // 1000, total_kimg)
 
-        if image_snapshot_ticks is not None and \
+        if image_snapshot_ticks is not None and is_main and \
                 (tick % image_snapshot_ticks == 0 or done) and \
                 snapshot_vis_batch is not None:
             _save_fakes_grid(G, state, snapshot_vis_batch, run_dir,
                              cur_nimg)
 
         if snapshot_ticks is not None and (tick % snapshot_ticks == 0 or done) \
-                and tick > 0:
-            check_replica_consistency(state.params_G, mesh)
+                and tick > 0 and is_main:
+            # every replicated module, like the reference's per-module
+            # check_ddp_consistency sweep (training_loop.py:470)
+            check_replica_consistency(
+                {'G': state.params_G, 'D': state.params_D,
+                 'G_ema': state.params_G_ema,
+                 'opt_G': state.opt_state_G, 'opt_D': state.opt_state_D},
+                mesh)
             snap_path = os.path.join(
                 run_dir, f'network-snapshot-{cur_nimg // 1000:06d}.pkl')
             save_snapshot(
@@ -260,8 +278,10 @@ def training_loop(
         if done:
             break
 
-    stats_jsonl.close()
-    tb_writer.close()
+    if stats_jsonl is not None:
+        stats_jsonl.close()
+    if tb_writer is not None:
+        tb_writer.close()
     if hasattr(data_iterator, 'close'):
         data_iterator.close()
     return state
@@ -296,12 +316,15 @@ def _eval_metrics(G, state, dataset, metrics, run_dir, snapshot_path,
 
     Failures (e.g. no local Inception detector in a zero-egress env) are
     reported loudly but never kill training."""
+    import jax
+
     from ..metrics import metric_main
+    params_ema = jax.tree.map(np.asarray, state.params_G_ema)
     for name in metrics:
         try:
             record = metric_main.calc_metric(
                 name, run_dir=run_dir, generator=G,
-                params=state.params_G_ema, dataset=dataset,
+                params=params_ema, dataset=dataset,
                 cache_dir=run_dir,
                 snapshot_pkl=os.path.basename(snapshot_path),
                 cur_nimg=cur_nimg)
@@ -311,10 +334,32 @@ def _eval_metrics(G, state, dataset, metrics, run_dir, snapshot_path,
 
 
 def _restore_opt(template, saved):
-    """Rebuild optimizer state preserving optax's structure."""
+    """Rebuild optimizer state preserving optax's structure.
+
+    The snapshot stores the optimizer state as a plain nested container
+    (utils/checkpoint.py strips optax's named-tuple types); restore by
+    matching the SHAPE of every leaf against the freshly-initialized
+    template rather than trusting flat-leaf order alone — a silent
+    flat-order zip would scramble moments if optax's tree structure changed
+    between save and load (version bump, different reg_interval chain).
+    """
     import jax
-    leaves_saved = jax.tree.leaves(saved)
-    treedef = jax.tree.structure(template)
+    leaves_saved, treedef_saved = jax.tree.flatten(saved)
+    leaves_tmpl, treedef = jax.tree.flatten(template)
+    if len(leaves_saved) != len(leaves_tmpl):
+        raise ValueError(
+            f'optimizer-state mismatch: snapshot has {len(leaves_saved)} '
+            f'leaves, current optimizer expects {len(leaves_tmpl)} '
+            f'(optax structure changed between save and load — resume with '
+            f'matching optimizer config or warm-start params only)')
+    for i, (s, t) in enumerate(zip(leaves_saved, leaves_tmpl)):
+        s_shape = getattr(s, 'shape', ())
+        t_shape = getattr(t, 'shape', ())
+        if tuple(s_shape) != tuple(t_shape):
+            raise ValueError(
+                f'optimizer-state mismatch at leaf {i}: snapshot shape '
+                f'{tuple(s_shape)} vs expected {tuple(t_shape)} '
+                f'(paths: saved {treedef_saved} vs template {treedef})')
     return jax.tree.unflatten(treedef, leaves_saved)
 
 
@@ -324,9 +369,12 @@ def _save_fakes_grid(G, state, vis_batch, run_dir, cur_nimg):
     import jax.numpy as jnp
     from ..cli.common import save_image_grid
     try:
-        ws = G.mapping(state.params_G_ema, jnp.asarray(vis_batch['gen_z']),
+        # localize params: replicated global arrays -> host numpy so the
+        # rank-0-only eval never launches a cross-process computation
+        params = jax.tree.map(np.asarray, state.params_G_ema)
+        ws = G.mapping(params, jnp.asarray(vis_batch['gen_z']),
                        jnp.asarray(vis_batch['gen_c']))
-        out = G.synthesis(state.params_G_ema, ws,
+        out = G.synthesis(params, ws,
                           jnp.asarray(vis_batch['gen_c']),
                           jnp.asarray(vis_batch['gen_v']),
                           noise_mode='const')
