@@ -126,7 +126,9 @@ class TriPlaneGenerator:
             **(sr_kwargs or {}))
         self.decoder = OSGDecoder(
             32, {'decoder_lr_mul': self.rendering_kwargs.get('decoder_lr_mul', 1),
-                 'decoder_output_dim': 32})
+                 'decoder_output_dim': 32,
+                 'decoder_bf16': self.rendering_kwargs.get('decoder_bf16',
+                                                           not force_fp32)})
 
         # --- static mesh buffers (reference :79-106)
         mesh = load_obj(topology_path) if isinstance(topology_path, str) \
@@ -172,18 +174,19 @@ class TriPlaneGenerator:
             # a face emits at most ONE entry per tile (its 4 bbox-corner
             # entries land in 4 distinct tiles), so the per-tile entry count
             # is bounded by faces-overlapping-tile = required_tile_capacity.
-            # The kernel DMAs max_seg=8192 entries per tile (minus <=127
+            # The kernel DMAs MAX_SEG entries per tile (minus <=127
             # alignment skip) and clamps reads beyond it, so overflow would
             # drop faces silently. 25% slack over the neutral mesh absorbs
             # expression deformation. 'auto' falls back to 'tiled' (its
             # non-TPU resolution anyway); explicit 'pallas_binned' fails
             # loudly at construction. Neutral FLAME @256: max 2120 entries.
+            from ..ops.pallas_raster import MAX_SEG
             seg_need = required_tile_capacity(tv, self.faces, res, tile=32)
-            over_seg = seg_need * 1.25 + 128 > 8192
+            over_seg = seg_need * 1.25 + 128 > MAX_SEG
             over_span = patch_need >= 32 * 0.8
             if over_seg or over_span:
                 why = (f'tile segments need {seg_need} entries '
-                       f'(max_seg=8192)' if over_seg else
+                       f'(max_seg={MAX_SEG})' if over_seg else
                        f'face bbox span {patch_need:.0f}px approaches the '
                        f'TILE=32 limit')
                 if self.rasterizer_impl == 'auto':
@@ -289,16 +292,25 @@ class TriPlaneGenerator:
         # eye mask rides the texture gather as an extra channel: ONE
         # grid_sample instead of two (the separate 1-ch eye pass measured
         # ~49 ms/frame on v5e — gather cost is per-row, so the extra
-        # channel is nearly free)
-        tex = jnp.broadcast_to(textures[None], (V,) + textures.shape)
-        tex = tex.reshape((V * N,) + textures.shape[1:])
+        # channel is nearly free). The 4 views FOLD INTO THE GRID, not the
+        # texture batch: the texture is identical across views, so building
+        # the (V*N)-batch packed gather table would 4x its construction and
+        # HBM footprint for the same row count (round 4; the view-major grid
+        # rows transpose to batch-major and back around the gather).
+        tex = textures
         if not self.force_fp32 and tex.dtype == jnp.float32:
             tex = tex.astype(jnp.bfloat16)  # halve gather bytes (see init)
         eye_mask = jnp.broadcast_to(
             jnp.asarray(self.uv_face_mask)[None, None],
-            (V * N, 1) + self.uv_face_mask.shape).astype(tex.dtype)
+            (N, 1) + self.uv_face_mask.shape).astype(tex.dtype)
+        res = self.uv_resolution
+        grid_vn = grid.reshape(V, N, res, res, 2).transpose(1, 0, 2, 3, 4)
+        grid_vn = grid_vn.reshape(N, V * res, res, 2)
         sampled = grid_sample_2d(jnp.concatenate([tex, eye_mask], axis=1),
-                                 grid).astype(jnp.float32)
+                                 grid_vn).astype(jnp.float32)
+        sampled = sampled.reshape(sampled.shape[0], sampled.shape[1],
+                                  V, res, res).transpose(2, 0, 1, 3, 4)
+        sampled = sampled.reshape(V * N, -1, res, res)
         rendering_image = sampled[:, :-1]
         mask_face_eye = jax.lax.stop_gradient(sampled[:, -1:])
         alpha = mask_face_eye * alpha
@@ -347,9 +359,14 @@ class TriPlaneGenerator:
                         noise_mode, rng):
         boxes = self.gen_mouth_mask(lm2d_front)  # (N, 4)
         size = boxes[:, 1] - boxes[:, 0]
+        # perf mode: the dynamic-window crop/paste resamplers run bf16 (the
+        # same policy as the bf16 synthesis blocks they feed); parity mode
+        # (force_fp32=True) keeps them fp32/HIGHEST
+        front = rendering_front if self.force_fp32 \
+            else rendering_front.astype(jnp.bfloat16)
         crop = jax.vmap(
             lambda img, b, s: resample_region(img, b[0], b[2], s, s, 64, 64)
-        )(rendering_front, boxes, size)
+        )(front, boxes, size)
         mouths_plane = self.mouth_backbone.synthesis(
             params['mouth_backbone']['synthesis'], crop, eg3d_ws,
             noise_mode=noise_mode, rng=_fold(rng, 1),
@@ -357,7 +374,7 @@ class TriPlaneGenerator:
         stitched = jax.vmap(
             lambda img, patch, b, s: paste_resized_region(img, patch, b[0],
                                                           b[2], s, s)
-        )(rendering_front, mouths_plane, boxes, size)
+        )(front, mouths_plane.astype(front.dtype), boxes, size)
         return self.neural_blending.synthesis(
             params['neural_blending']['synthesis'], stitched, eg3d_ws,
             noise_mode=noise_mode, rng=_fold(rng, 2),

@@ -121,7 +121,11 @@ class FullyConnected:
             b = b.astype(x.dtype)
             if self.bias_gain != 1:
                 b = b * self.bias_gain
-        x = jnp.matmul(x, w.T, precision=jax.lax.Precision.HIGHEST)
+        # HIGHEST pins fp32 math for parity; reduced-precision inputs (the
+        # perf-mode bf16 decoder) take the native one-pass MXU path
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        x = jnp.matmul(x, w.T, precision=prec)
         return bias_act(x, b, act=self.activation)
 
 

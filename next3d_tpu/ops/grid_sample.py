@@ -143,7 +143,21 @@ def _grid_sample_packed(input, x0, y0, wx1, wy1, Ho, Wo):
     bx = jnp.clip(x0, 0, W - 2)
     by = jnp.clip(y0, 0, H - 2)
     idx = (by * W + bx).reshape(N, Ho * Wo)
-    g = jnp.take_along_axis(table, idx[..., None], axis=1)  # (N, HoWo, 4C)
+    # flat 1-D row gather over the batch-flattened table: measured ~15%
+    # faster than the batched take_along_axis at the volume-render shape
+    # (51 vs 60 ms/pass for 4.7M rows, value-fetched A/B — see
+    # docs/STAGE_PROFILE.md). Indices are in-bounds by construction
+    # (clipped above), so PROMISE_IN_BOUNDS skips the clamp pass.
+    flat = table.reshape(N * H * W, 4 * C)
+    fidx = (idx + (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None])
+    g = jax.lax.gather(
+        flat, fidx.reshape(-1, 1),
+        jax.lax.GatherDimensionNumbers(offset_dims=(1,),
+                                       collapsed_slice_dims=(0,),
+                                       start_index_map=(0,)),
+        slice_sizes=(1, 4 * C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    g = g.reshape(N, Ho * Wo, 4 * C)
 
     wx0 = 1 - wx1
     wy0 = 1 - wy1

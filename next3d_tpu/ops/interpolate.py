@@ -11,12 +11,22 @@ The reference leans on three distinct resize semantics:
 All are implemented as separable weighted gathers with static tap counts so
 they stay jit-compatible even when the *source window* is dynamic (the mouth
 crop/paste path uses ``resample_region`` below).
+
+Precision policy: the weighted-sum einsums run at HIGHEST precision for
+float32 inputs (parity paths — fp32 math must not silently become one-pass
+bf16 on TPU) and at the native one-pass precision for reduced-precision
+inputs (the flagship's force_fp32=False mode feeds these ops bfloat16).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _prec(x):
+    return (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
 def _contributions_1d(in_size: int, out_size: int, antialias: bool):
@@ -70,11 +80,11 @@ def interpolate_bilinear(x, size, antialias=False):
     # rows: gather (..., Ho, taps, W) then weight-sum over taps
     xr = jnp.take(x, idx_y.reshape(-1), axis=-2)
     xr = xr.reshape(x.shape[:-2] + (Ho, idx_y.shape[1], W))
-    xr = jnp.einsum('...htw,ht->...hw', xr, w_y, precision=jax.lax.Precision.HIGHEST)
+    xr = jnp.einsum('...htw,ht->...hw', xr, w_y, precision=_prec(xr))
     # cols
     xc = jnp.take(xr, idx_x.reshape(-1), axis=-1)
     xc = xc.reshape(xr.shape[:-1] + (Wo, idx_x.shape[1]))
-    out = jnp.einsum('...wt,wt->...w', xc, w_x, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum('...wt,wt->...w', xc, w_x, precision=_prec(xr))
     return out
 
 
@@ -132,9 +142,9 @@ def resample_region(src, start_y, start_x, size_y, size_x, out_h, out_w,
     idx_x, w_x = axis_samples(start_x, size_x, out_w, W)
 
     xr = src[:, idx_y.reshape(-1), :].reshape(C, out_h, taps, W)
-    xr = jnp.einsum('chtw,ht->chw', xr, w_y, precision=jax.lax.Precision.HIGHEST)
+    xr = jnp.einsum('chtw,ht->chw', xr, w_y, precision=_prec(xr))
     xc = xr[:, :, idx_x.reshape(-1)].reshape(C, out_h, out_w, taps)
-    return jnp.einsum('chwt,wt->chw', xc, w_x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum('chwt,wt->chw', xc, w_x, precision=_prec(xr))
 
 
 def paste_resized_region(canvas, patch, start_y, start_x, size_y, size_x,
@@ -180,9 +190,9 @@ def paste_resized_region(canvas, patch, start_y, start_x, size_y, size_x,
     idx_x, w_x, in_x = axis(xs, start_x, size_x, Pw)
 
     pr = patch[:, idx_y.reshape(-1), :].reshape(C, H, taps, Pw)
-    pr = jnp.einsum('chtw,ht->chw', pr, w_y, precision=jax.lax.Precision.HIGHEST)
+    pr = jnp.einsum('chtw,ht->chw', pr, w_y, precision=_prec(pr))
     pc = pr[:, :, idx_x.reshape(-1)].reshape(C, H, W, taps)
-    resized = jnp.einsum('chwt,wt->chw', pc, w_x, precision=jax.lax.Precision.HIGHEST)
+    resized = jnp.einsum('chwt,wt->chw', pc, w_x, precision=_prec(pc))
 
     mask = (in_y[:, None] & in_x[None, :]).astype(canvas.dtype)[None]
     return canvas * (1 - mask) + resized * mask

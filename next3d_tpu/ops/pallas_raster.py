@@ -176,6 +176,44 @@ def rasterize_mesh_pallas(verts, faces, image_size, patch=32, interpret=False):
 
 TILE = 32  # pixels per tile side; must exceed the max face bbox span
 
+# Per-tile candidate-segment DMA window (f32 entries). The construction-time
+# guard (models/triplane_next3d.py _validate_rasterizer_capacity) checks the
+# topology against THIS constant; FLAME @256 needs <=2120 entries/tile
+# (x1.25 expression slack + 128 alignment skip < 4096). Halved from 8192 in
+# round 4: the kernel DMAs the full window per non-empty tile, so the window
+# size is pure per-tile latency.
+MAX_SEG = 4096
+
+
+def _binned_prep(coeffs, tids, T, max_seg):
+    """Shared XLA-side prep for the binned kernels: sort entries by tile id,
+    compute segment starts, lay out the coeff-major slab.
+
+    Round-4 reformulation (docs/STAGE_PROFILE.md): the original
+    sort_key_val + histogram scatter-add + slab row-gather spent ~11.5 ns
+    per entry on BOTH the (B, 4F) scatter and the (B*4F)-row gather. One
+    multi-operand ``lax.sort`` carries all coeff channels with the key
+    (the unify_samples trick), and segment starts come from a
+    compare-reduce over the sorted keys — zero scatters, zero gathers.
+
+    coeffs: (B, E, K) f32; tids: (B, E) int32 (dummy = T for dropped).
+    Returns starts (B*(T+1),) int32 and slab (B, K, E + max_seg) f32.
+    """
+    K = coeffs.shape[-1]
+    ops = [tids] + [coeffs[..., k] for k in range(K)]
+    res = jax.lax.sort(ops, dimension=1, num_keys=1)
+    tids_sorted = res[0]
+    slab = jnp.stack(res[1:], axis=1)                       # (B, K, E)
+    boundaries = jnp.arange(T + 1, dtype=jnp.int32)
+    starts = jnp.sum(
+        (tids_sorted[:, None, :] < boundaries[None, :, None]).astype(jnp.int32),
+        axis=-1)                                            # (B, T+1)
+    # pad coeff rows to the kernel's 8-aligned scratch height and lanes by
+    # the DMA margin
+    K_pad = -(-K // 8) * 8
+    slab = jnp.pad(slab, ((0, 0), (0, K_pad - K), (0, max_seg)))
+    return starts.reshape(-1), slab
+
 
 def _binned_kernel(starts_ref, slab_ref, fid_out, zbuf_out, seg, zmin, fidc,
                    dma_sem, *, tiles_x, max_seg, n_coeff=13):
@@ -202,65 +240,73 @@ def _binned_kernel(starts_ref, slab_ref, fid_out, zbuf_out, seg, zmin, fidc,
     astart = pl.multiple_of((start // 128) * 128, 128)
     skip = start - astart
 
-    cp = pltpu.make_async_copy(
-        slab_ref.at[b, :, pl.ds(astart, max_seg)], seg, dma_sem)
-    cp.start()
+    @pl.when(n == 0)
+    def _empty():
+        fid_out[0, 0] = jnp.full((8, 128), -1, jnp.int32)
+        zbuf_out[0, 0] = jnp.full((8, 128), BIG_Z, jnp.float32)
 
-    base_x = (t % tiles_x) * TILE
-    base_y = (t // tiles_x) * TILE
-    # per-group y vector: row = s*4 + g//32 (TILE=32, 128/32=4 rows/sublane)
-    s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    gy_base = (base_y + s8 * (128 // TILE)).astype(jnp.float32)   # (8,1)
+    @pl.when(n > 0)
+    def _nonempty():
+        cp = pltpu.make_async_copy(
+            slab_ref.at[b, :, pl.ds(astart, max_seg)], seg, dma_sem)
+        cp.start()
 
-    zmin[...] = jnp.full((1024, 128), BIG_Z, jnp.float32)
-    fidc[...] = jnp.full((1024, 128), 2.0 ** 30, jnp.float32)
+        base_x = (t % tiles_x) * TILE
+        base_y = (t // tiles_x) * TILE
+        # per-group y vector: row = s*4 + g//32 (TILE=32 -> 4 rows/sublane)
+        s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        gy_base = (base_y + s8 * (128 // TILE)).astype(jnp.float32)  # (8,1)
 
-    cp.wait()
+        zmin[...] = jnp.full((1024, 128), BIG_Z, jnp.float32)
+        fidc[...] = jnp.full((1024, 128), 2.0 ** 30, jnp.float32)
 
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        cp.wait()
 
-    def packet(i, _):
-        off = pl.multiple_of(i * 128, 128)
-        lane_g = lane128 + off
-        valid = (lane_g >= skip) & (lane_g < skip + n)       # (1,128)
-        c = [seg[j, pl.ds(off, 128)].reshape(1, 128)
-             for j in range(n_coeff)]
-        b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y, zc, zx, zy, fidv = c
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-        def group(g, _):
-            gx = (base_x + g % TILE).astype(jnp.float32)      # scalar
-            gy = gy_base + (g // TILE).astype(jnp.float32)    # (8,1)
-            w0 = b0c + b0x * gx + b0y * gy                    # (8,128)
-            w1 = b1c + b1x * gx + b1y * gy
-            w2 = b2c + b2x * gx + b2y * gy
-            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
-            z = zc + zx * gx + zy * gy
-            z = jnp.where(inside, z, BIG_Z)
-            r = pl.multiple_of(g * 8, 8)
-            zold = zmin[pl.ds(r, 8), :]
-            fold = fidc[pl.ds(r, 8), :]
-            better = (z < zold) | ((z == zold) & (fidv < fold) & inside)
-            zmin[pl.ds(r, 8), :] = jnp.where(better, z, zold)
-            fidc[pl.ds(r, 8), :] = jnp.where(better, fidv, fold)
+        def packet(i, _):
+            off = pl.multiple_of(i * 128, 128)
+            lane_g = lane128 + off
+            valid = (lane_g >= skip) & (lane_g < skip + n)       # (1,128)
+            c = [seg[j, pl.ds(off, 128)].reshape(1, 128)
+                 for j in range(n_coeff)]
+            b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y, zc, zx, zy, fidv = c
+
+            def group(g, _):
+                gx = (base_x + g % TILE).astype(jnp.float32)      # scalar
+                gy = gy_base + (g // TILE).astype(jnp.float32)    # (8,1)
+                w0 = b0c + b0x * gx + b0y * gy                    # (8,128)
+                w1 = b1c + b1x * gx + b1y * gy
+                w2 = b2c + b2x * gx + b2y * gy
+                inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+                z = zc + zx * gx + zy * gy
+                z = jnp.where(inside, z, BIG_Z)
+                r = pl.multiple_of(g * 8, 8)
+                zold = zmin[pl.ds(r, 8), :]
+                fold = fidc[pl.ds(r, 8), :]
+                better = (z < zold) | ((z == zold) & (fidv < fold) & inside)
+                zmin[pl.ds(r, 8), :] = jnp.where(better, z, zold)
+                fidc[pl.ds(r, 8), :] = jnp.where(better, fidv, fold)
+                return 0
+
+            jax.lax.fori_loop(0, 128, group, 0)
             return 0
 
-        jax.lax.fori_loop(0, 128, group, 0)
-        return 0
+        # clamp so packets never read beyond the DMA'd max_seg window even
+        # if a tile's segment overflows (callers validate capacity at
+        # construction; this keeps an overflow bounded-wrong instead of
+        # reading garbage)
+        nb = jnp.minimum(pl.cdiv(skip + n, 128), max_seg // 128)
+        jax.lax.fori_loop(0, nb, packet, 0)
 
-    # clamp so packets never read beyond the DMA'd max_seg window even if a
-    # tile's segment overflows (callers validate capacity at construction;
-    # this keeps an overflow bounded-wrong instead of reading garbage)
-    nb = jnp.minimum(pl.cdiv(skip + n, 128), max_seg // 128)
-    jax.lax.fori_loop(0, nb, packet, 0)
-
-    # resolve across the 128 candidate lanes: min z, tie -> min fid
-    zrow = jnp.min(zmin[...], axis=1, keepdims=True)          # (1024,1)
-    ftie = jnp.where(zmin[...] == zrow, fidc[...], 2.0 ** 30)
-    frow = jnp.min(ftie, axis=1, keepdims=True)               # (1024,1)
-    # carry row r = g*8 + s holds pixel p = s*128 + g: (128,8) -> T -> (8,128)
-    zbuf_out[0, 0] = zrow.reshape(128, 8).T
-    f = frow.reshape(128, 8).T
-    fid_out[0, 0] = jnp.where(f >= 2.0 ** 30, -1, f).astype(jnp.int32)
+        # resolve across the 128 candidate lanes: min z, tie -> min fid
+        zrow = jnp.min(zmin[...], axis=1, keepdims=True)          # (1024,1)
+        ftie = jnp.where(zmin[...] == zrow, fidc[...], 2.0 ** 30)
+        frow = jnp.min(ftie, axis=1, keepdims=True)               # (1024,1)
+        # carry row r = g*8+s holds pixel p = s*128+g: (128,8) -> T -> (8,128)
+        zbuf_out[0, 0] = zrow.reshape(128, 8).T
+        f = frow.reshape(128, 8).T
+        fid_out[0, 0] = jnp.where(f >= 2.0 ** 30, -1, f).astype(jnp.int32)
 
 
 def _binned_attr_kernel(starts_ref, slab_ref, fid_out, u_out, v_out, seg,
@@ -283,79 +329,91 @@ def _binned_attr_kernel(starts_ref, slab_ref, fid_out, u_out, v_out, seg,
     astart = pl.multiple_of((start // 128) * 128, 128)
     skip = start - astart
 
-    cp = pltpu.make_async_copy(
-        slab_ref.at[b, :, pl.ds(astart, max_seg)], seg, dma_sem)
-    cp.start()
+    # empty tiles (background — typically 30-50% of the 4-view FLAME grid)
+    # skip the segment DMA, carry init, candidate loop, and resolve entirely
+    @pl.when(n == 0)
+    def _empty():
+        fid_out[0, 0] = jnp.full((8, 128), -1, jnp.int32)
+        u_out[0, 0] = jnp.zeros((8, 128), jnp.float32)
+        v_out[0, 0] = jnp.zeros((8, 128), jnp.float32)
 
-    base_x = (t % tiles_x) * TILE
-    base_y = (t // tiles_x) * TILE
-    s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    gy_base = (base_y + s8 * (128 // TILE)).astype(jnp.float32)   # (8,1)
+    @pl.when(n > 0)
+    def _nonempty():
+        cp = pltpu.make_async_copy(
+            slab_ref.at[b, :, pl.ds(astart, max_seg)], seg, dma_sem)
+        cp.start()
 
-    zmin[...] = jnp.full((1024, 128), BIG_Z, jnp.float32)
-    fidc[...] = jnp.full((1024, 128), 2.0 ** 30, jnp.float32)
-    ubuf[...] = jnp.zeros((1024, 128), jnp.float32)
-    vbuf[...] = jnp.zeros((1024, 128), jnp.float32)
+        base_x = (t % tiles_x) * TILE
+        base_y = (t // tiles_x) * TILE
+        s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        gy_base = (base_y + s8 * (128 // TILE)).astype(jnp.float32)  # (8,1)
 
-    cp.wait()
+        zmin[...] = jnp.full((1024, 128), BIG_Z, jnp.float32)
+        fidc[...] = jnp.full((1024, 128), 2.0 ** 30, jnp.float32)
+        ubuf[...] = jnp.zeros((1024, 128), jnp.float32)
+        vbuf[...] = jnp.zeros((1024, 128), jnp.float32)
 
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        cp.wait()
 
-    def packet(i, _):
-        off = pl.multiple_of(i * 128, 128)
-        lane_g = lane128 + off
-        valid = (lane_g >= skip) & (lane_g < skip + n)       # (1,128)
-        c = [seg[j, pl.ds(off, 128)].reshape(1, 128)
-             for j in range(n_coeff)]
-        (b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y,
-         zc, zx, zy, uc, ux, uy, vc, vx, vy, fidv) = c
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-        def group(g, _):
-            gx = (base_x + g % TILE).astype(jnp.float32)      # scalar
-            gy = gy_base + (g // TILE).astype(jnp.float32)    # (8,1)
-            w0 = b0c + b0x * gx + b0y * gy                    # (8,128)
-            w1 = b1c + b1x * gx + b1y * gy
-            w2 = b2c + b2x * gx + b2y * gy
-            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
-            z = zc + zx * gx + zy * gy
-            z = jnp.where(inside, z, BIG_Z)
-            r = pl.multiple_of(g * 8, 8)
-            zold = zmin[pl.ds(r, 8), :]
-            fold = fidc[pl.ds(r, 8), :]
-            better = (z < zold) | ((z == zold) & (fidv < fold) & inside)
-            zmin[pl.ds(r, 8), :] = jnp.where(better, z, zold)
-            fidc[pl.ds(r, 8), :] = jnp.where(better, fidv, fold)
-            ubuf[pl.ds(r, 8), :] = jnp.where(better, uc + ux * gx + uy * gy,
-                                             ubuf[pl.ds(r, 8), :])
-            vbuf[pl.ds(r, 8), :] = jnp.where(better, vc + vx * gx + vy * gy,
-                                             vbuf[pl.ds(r, 8), :])
+        def packet(i, _):
+            off = pl.multiple_of(i * 128, 128)
+            lane_g = lane128 + off
+            valid = (lane_g >= skip) & (lane_g < skip + n)       # (1,128)
+            c = [seg[j, pl.ds(off, 128)].reshape(1, 128)
+                 for j in range(n_coeff)]
+            (b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y,
+             zc, zx, zy, uc, ux, uy, vc, vx, vy, fidv) = c
+
+            def group(g, _):
+                gx = (base_x + g % TILE).astype(jnp.float32)      # scalar
+                gy = gy_base + (g // TILE).astype(jnp.float32)    # (8,1)
+                w0 = b0c + b0x * gx + b0y * gy                    # (8,128)
+                w1 = b1c + b1x * gx + b1y * gy
+                w2 = b2c + b2x * gx + b2y * gy
+                inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+                z = zc + zx * gx + zy * gy
+                z = jnp.where(inside, z, BIG_Z)
+                r = pl.multiple_of(g * 8, 8)
+                zold = zmin[pl.ds(r, 8), :]
+                fold = fidc[pl.ds(r, 8), :]
+                better = (z < zold) | ((z == zold) & (fidv < fold) & inside)
+                zmin[pl.ds(r, 8), :] = jnp.where(better, z, zold)
+                fidc[pl.ds(r, 8), :] = jnp.where(better, fidv, fold)
+                ubuf[pl.ds(r, 8), :] = jnp.where(
+                    better, uc + ux * gx + uy * gy, ubuf[pl.ds(r, 8), :])
+                vbuf[pl.ds(r, 8), :] = jnp.where(
+                    better, vc + vx * gx + vy * gy, vbuf[pl.ds(r, 8), :])
+                return 0
+
+            jax.lax.fori_loop(0, 128, group, 0)
             return 0
 
-        jax.lax.fori_loop(0, 128, group, 0)
-        return 0
+        nb = jnp.minimum(pl.cdiv(skip + n, 128), max_seg // 128)
+        jax.lax.fori_loop(0, nb, packet, 0)
 
-    nb = jnp.minimum(pl.cdiv(skip + n, 128), max_seg // 128)
-    jax.lax.fori_loop(0, nb, packet, 0)
-
-    # resolve across candidate lanes: min z, tie -> min fid; u/v follow the
-    # winning lane (a face appears at most once per tile segment, so the
-    # (z, fid) pair identifies one lane)
-    zrow = jnp.min(zmin[...], axis=1, keepdims=True)          # (1024,1)
-    ftie = jnp.where(zmin[...] == zrow, fidc[...], 2.0 ** 30)
-    frow = jnp.min(ftie, axis=1, keepdims=True)               # (1024,1)
-    sel = (zmin[...] == zrow) & (fidc[...] == frow)
-    urow = jnp.min(jnp.where(sel, ubuf[...], BIG_Z), axis=1, keepdims=True)
-    vrow = jnp.min(jnp.where(sel, vbuf[...], BIG_Z), axis=1, keepdims=True)
-    hit = frow < 2.0 ** 30
-    f = jnp.where(hit, frow, -1.0)
-    fid_out[0, 0] = f.reshape(128, 8).T.astype(jnp.int32)
-    u_out[0, 0] = jnp.where(hit, urow, 0.0).reshape(128, 8).T
-    v_out[0, 0] = jnp.where(hit, vrow, 0.0).reshape(128, 8).T
+        # resolve across candidate lanes: min z, tie -> min fid; u/v follow
+        # the winning lane (a face appears at most once per tile segment, so
+        # the (z, fid) pair identifies one lane)
+        zrow = jnp.min(zmin[...], axis=1, keepdims=True)          # (1024,1)
+        ftie = jnp.where(zmin[...] == zrow, fidc[...], 2.0 ** 30)
+        frow = jnp.min(ftie, axis=1, keepdims=True)               # (1024,1)
+        sel = (zmin[...] == zrow) & (fidc[...] == frow)
+        urow = jnp.min(jnp.where(sel, ubuf[...], BIG_Z), axis=1,
+                       keepdims=True)
+        vrow = jnp.min(jnp.where(sel, vbuf[...], BIG_Z), axis=1,
+                       keepdims=True)
+        hit = frow < 2.0 ** 30
+        f = jnp.where(hit, frow, -1.0)
+        fid_out[0, 0] = f.reshape(128, 8).T.astype(jnp.int32)
+        u_out[0, 0] = jnp.where(hit, urow, 0.0).reshape(128, 8).T
+        v_out[0, 0] = jnp.where(hit, vrow, 0.0).reshape(128, 8).T
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
-                                    max_seg=8192, interpret=False):
+                                    max_seg=MAX_SEG, interpret=False):
     """Sort-binned rasterizer that ALSO emits barycentric-interpolated
     per-face attributes (u, v) at the winning face of each pixel.
 
@@ -410,10 +468,9 @@ def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
     vc, vx, vy = affine(fa[..., 0, 1], fa[..., 1, 1], fa[..., 2, 1])
     b0c = jnp.where(keep, b0c, -jnp.inf)
     fidf = jnp.broadcast_to(jnp.arange(F, dtype=jnp.float32)[None], (B, F))
-    zero = jnp.zeros_like(b0c)
     coeffs = jnp.stack([b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y,
-                        zc, zx, zy, uc, ux, uy, vc, vx, vy, fidf,
-                        zero, zero, zero, zero, zero], axis=-1)  # (B, F, 24)
+                        zc, zx, zy, uc, ux, uy, vc, vx, vy, fidf],
+                       axis=-1)                              # (B, F, 19)
 
     txlo = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(x0, x1), x2) / TILE),
                     0, Tx - 1).astype(jnp.int32)
@@ -431,20 +488,10 @@ def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
     tids = jnp.stack([e00, e01, e10, e11], axis=-1)          # (B, F, 4)
     tids = jnp.where(keep[..., None], tids, dummy).reshape(B, 4 * F)
 
-    eface = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
-                             (F, 4)).reshape(1, 4 * F)
-    eface = jnp.broadcast_to(eface, (B, 4 * F))
-    tids_sorted, order = jax.lax.sort_key_val(tids, eface, dimension=1)
-
-    counts = jnp.zeros((B, T + 1), jnp.int32).at[
-        jnp.arange(B)[:, None], jnp.clip(tids, 0, T)].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32),
-         jnp.cumsum(counts, axis=1, dtype=jnp.int32)[:, :T]], axis=1)
-
-    slab = jnp.take_along_axis(coeffs, order[..., None], axis=1)  # (B,E,24)
-    slab = slab.transpose(0, 2, 1)                            # (B, 24, E)
-    slab = jnp.pad(slab, ((0, 0), (0, 0), (0, max_seg)))
+    # each face's coeff row is replicated to its (up to) 4 tile entries so
+    # the multi-operand sort can carry the payload with the key
+    entries = jnp.repeat(coeffs, 4, axis=1)                  # (B, 4F, 24)
+    starts, slab = _binned_prep(entries, tids, T, max_seg)
 
     kernel = functools.partial(_binned_attr_kernel, tiles_x=Tx,
                                max_seg=max_seg)
@@ -476,7 +523,7 @@ def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
             jax.ShapeDtypeStruct((B, T, 8, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(starts.reshape(-1), slab)
+    )(starts, slab)
 
     def unscramble(a):
         a = a.reshape(B, H // TILE, Tx, TILE * TILE // TILE, TILE)
@@ -486,7 +533,7 @@ def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def rasterize_mesh_pallas_binned(verts, faces, image_size, max_seg=8192,
+def rasterize_mesh_pallas_binned(verts, faces, image_size, max_seg=MAX_SEG,
                                  interpret=False):
     """Sort-binned Pallas rasterizer (see module notes above).
 
@@ -539,9 +586,7 @@ def rasterize_mesh_pallas_binned(verts, faces, image_size, max_seg=8192,
     b0c = jnp.where(keep, b0c, -jnp.inf)
     fidf = jnp.broadcast_to(jnp.arange(F, dtype=jnp.float32)[None], (B, F))
     coeffs = jnp.stack([b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y,
-                        zc, zx, zy, fidf,
-                        jnp.zeros_like(b0c), jnp.zeros_like(b0c),
-                        jnp.zeros_like(b0c)], axis=-1)       # (B, F, 16)
+                        zc, zx, zy, fidf], axis=-1)          # (B, F, 13)
 
     # 4 bbox-corner tile entries per face; duplicates and culled faces are
     # routed to the dummy tile T (sorted to the end, never visited)
@@ -561,22 +606,10 @@ def rasterize_mesh_pallas_binned(verts, faces, image_size, max_seg=8192,
     tids = jnp.stack([e00, e01, e10, e11], axis=-1)          # (B, F, 4)
     tids = jnp.where(keep[..., None], tids, dummy).reshape(B, 4 * F)
 
-    eface = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
-                             (F, 4)).reshape(1, 4 * F)
-    eface = jnp.broadcast_to(eface, (B, 4 * F))
-    tids_sorted, order = jax.lax.sort_key_val(tids, eface, dimension=1)
-
-    # segment starts via histogram + cumsum (replaces searchsorted)
-    counts = jnp.zeros((B, T + 1), jnp.int32).at[
-        jnp.arange(B)[:, None], jnp.clip(tids, 0, T)].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32),
-         jnp.cumsum(counts, axis=1, dtype=jnp.int32)[:, :T]], axis=1)
-
-    # ONE row-gather into sorted order, then coeff-major layout + DMA margin
-    slab = jnp.take_along_axis(coeffs, order[..., None], axis=1)  # (B,E,16)
-    slab = slab.transpose(0, 2, 1)                            # (B, 16, E)
-    slab = jnp.pad(slab, ((0, 0), (0, 0), (0, max_seg)))
+    # multi-operand sort carries coeffs with the tile key; segment starts
+    # from a compare-reduce (zero scatters/gathers — see _binned_prep)
+    entries = jnp.repeat(coeffs, 4, axis=1)                  # (B, 4F, 13)
+    starts, slab = _binned_prep(entries, tids, T, max_seg)
 
     kernel = functools.partial(_binned_kernel, tiles_x=Tx, max_seg=max_seg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -607,7 +640,7 @@ def rasterize_mesh_pallas_binned(verts, faces, image_size, max_seg=8192,
             jax.ShapeDtypeStruct((B, T, 8, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(starts.reshape(-1), slab)
+    )(starts, slab)
 
     # unscramble: (B, T, 8, 128) with p = s*128 + g -> (B, H, W)
     def unscramble(a):
