@@ -1,0 +1,162 @@
+"""Pure-image preprocessing stages (data/image_prep.py) vs reference
+semantics (dataset_preprocessing/ffhq: align_multiprocess.py,
+crop_images.py, ../mirror_dataset.py)."""
+
+import json
+import os
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from next3d_tpu.data.image_prep import (LM3D_STD, align_crop_resize,
+                                        align_face, extract_5p,
+                                        face_quad_from_landmarks,
+                                        mirror_dataset, pos_similarity)
+from next3d_tpu.data.preprocess import flip_yaw
+
+
+def _face_landmarks(cx=250.0, cy=250.0, eye_dist=80.0, mouth_drop=90.0):
+    """Synthetic upright 68-landmark layout with plausible groups."""
+    lm = np.zeros((68, 2), np.float64)
+    lm[36:42] = [cx - eye_dist / 2, cy - 20]   # left eye cluster
+    lm[42:48] = [cx + eye_dist / 2, cy - 20]
+    lm[27:31] = [cx, cy + 10]
+    lm[30] = [cx, cy + 25]
+    lm[48] = [cx - 30, cy + mouth_drop - 20]   # mouth corners
+    lm[54] = [cx + 30, cy + mouth_drop - 20]
+    lm[49:54] = [cx, cy + mouth_drop - 25]
+    lm[55:60] = [cx, cy + mouth_drop - 15]
+    lm[60:68] = [cx, cy + mouth_drop - 20]
+    lm[0:17] = np.stack([np.linspace(cx - 90, cx + 90, 17),
+                         np.full(17, cy + 60)], axis=1)
+    lm[17:27] = np.stack([np.linspace(cx - 70, cx + 70, 10),
+                          np.full(10, cy - 50)], axis=1)
+    return lm
+
+
+def test_face_quad_geometry():
+    lm = _face_landmarks()
+    quad, qsize = face_quad_from_landmarks(lm)
+    assert quad.shape == (4, 2) and qsize > 0
+    # the quad is a square (oriented): all edges equal, diagonals equal
+    e = [np.linalg.norm(quad[(i + 1) % 4] - quad[i]) for i in range(4)]
+    np.testing.assert_allclose(e, e[0], rtol=1e-9)
+    # centered near the eye/mouth centroid, upright for an upright face
+    c = quad.mean(axis=0)
+    assert abs(c[0] - 250.0) < 10
+    # NW corner is up-left of SE corner (row order NW, SW, SE, NE)
+    assert quad[0, 0] < quad[2, 0] and quad[0, 1] < quad[2, 1]
+
+
+def test_align_face_shapes_and_rotation_equivariance():
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 255, (500, 500, 3), np.uint8)
+    # small face so the whole crop quad lies INSIDE the image (otherwise
+    # the comparison is dominated by synthetic reflect-padding)
+    lm = _face_landmarks(eye_dist=30.0, mouth_drop=36.0)
+    out = align_face(PIL.Image.fromarray(arr), lm, output_size=128,
+                     transform_size=512)
+    assert out.size == (128, 128)
+
+    # rotating the source by 90 degrees (and the landmarks with it) must
+    # produce (approximately) the same aligned output — the quad rotates
+    # with the face
+    arr90 = np.rot90(arr, k=1)         # CCW; (x, y) -> (y, W-1-x)
+    lm90 = np.stack([lm[:, 1], 500 - 1 - lm[:, 0]], axis=1)
+    out90 = align_face(PIL.Image.fromarray(arr90), lm90, output_size=128,
+                       transform_size=512)
+    a = np.float32(out) / 255
+    b = np.float32(out90) / 255
+    # resampling differs slightly; the images must be strongly correlated
+    corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_pos_similarity_recovers_scale_translation():
+    x = LM3D_STD
+    s0, t0 = 123.4, np.array([31.0, -7.5])
+    xp = s0 * x[:, :2] + t0
+    t, s = pos_similarity(xp, x)
+    np.testing.assert_allclose(s, s0, rtol=1e-9)
+    np.testing.assert_allclose(t, t0, rtol=1e-9, atol=1e-9)
+
+
+def test_align_crop_resize_centers_face():
+    # paint a marker at the nose tip; after POS alignment + center crop the
+    # marker must land near the output center (the template nose is near
+    # the canonical center)
+    lm = _face_landmarks(cx=300, cy=260)
+    img = np.zeros((600, 600, 3), np.uint8)
+    nose = lm[30].astype(int)
+    img[nose[1] - 4:nose[1] + 4, nose[0] - 4:nose[0] + 4] = 255
+    out, lm_t = align_crop_resize(PIL.Image.fromarray(img), lm,
+                                  rescale_factor=300.0,
+                                  center_crop_size=700, output_size=256)
+    assert out.size == (256, 256)
+    assert lm_t.shape == (68, 2)
+    o = np.asarray(out).sum(-1)
+    if o.max() > 0:  # marker visible in crop
+        py, px = np.unravel_index(np.argmax(o), o.shape)
+        assert abs(px - 128) < 64 and abs(py - 128) < 96, (px, py)
+    # transformed nose landmark agrees with the marker/center region
+    assert abs(lm_t[30, 0] - 128) < 64
+
+
+def test_extract_5p_shape():
+    lm5 = extract_5p(_face_landmarks())
+    assert lm5.shape == (5, 2)
+    # left eye is left of right eye; mouth corners below the eyes
+    assert lm5[0, 0] < lm5[1, 0]
+    assert lm5[3, 1] > lm5[0, 1] and lm5[4, 1] > lm5[1, 1]
+
+
+def test_mirror_dataset_with_labels(tmp_path):
+    src = tmp_path / 'imgs'
+    os.makedirs(src)
+    rng = np.random.RandomState(1)
+    pose = np.eye(4)
+    pose[:3, 3] = [0.5, 0.1, 2.6]
+    pose[0, 1] = 0.2
+    intr = np.array([[4.26, 0, 0.5], [0, 4.26, 0.5], [0, 0, 1]])
+    labels = []
+    for i in range(2):
+        arr = rng.randint(0, 255, (16, 16, 3), np.uint8)
+        PIL.Image.fromarray(arr).save(src / f'img{i}.png')
+        labels.append([f'img{i}.png',
+                       np.concatenate([pose.reshape(-1),
+                                       intr.reshape(-1)]).tolist()])
+    with open(src / 'dataset.json', 'w') as f:
+        json.dump({'labels': labels}, f)
+
+    n = mirror_dataset(str(src))
+    assert n == 2
+    with open(src / 'dataset.json') as f:
+        out = json.load(f)
+    assert len(out['labels']) == 4
+    names = [r[0] for r in out['labels']]
+    assert 'img0_mirror.png' in names and 'img1_mirror.png' in names
+    # mirrored image is the x-flip of the original
+    a = np.asarray(PIL.Image.open(src / 'img0.png'))
+    b = np.asarray(PIL.Image.open(src / 'img0_mirror.png'))
+    np.testing.assert_array_equal(b, a[:, ::-1])
+    # mirrored pose is flip_yaw of the original; intrinsics unchanged
+    mlabel = dict((r[0], r[1]) for r in out['labels'])['img0_mirror.png']
+    np.testing.assert_allclose(np.array(mlabel[:16]).reshape(4, 4),
+                               flip_yaw(pose))
+    np.testing.assert_allclose(np.array(mlabel[16:25]).reshape(3, 3), intr)
+    # idempotent: a second run mirrors nothing new
+    assert mirror_dataset(str(src)) == 2  # re-mirrors only originals
+    with open(src / 'dataset.json') as f:
+        out2 = json.load(f)
+    assert len(out2['labels']) == 6  # originals re-appended their mirrors
+
+
+def test_mirror_dataset_without_labels(tmp_path):
+    src = tmp_path / 'imgs'
+    os.makedirs(src)
+    arr = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    PIL.Image.fromarray(arr).save(src / 'a.png')
+    assert mirror_dataset(str(src)) == 1
+    b = np.asarray(PIL.Image.open(src / 'a_mirror.png'))
+    np.testing.assert_array_equal(b, arr[:, ::-1])
