@@ -5,9 +5,10 @@ mesh/landmark arrays (the TPU input pipeline never parses text at train
 time — SURVEY section 7.3 step 8).
 
 Sources: an images(+meshes/lms) folder tree, a .zip of the same, a
-CIFAR-10 `cifar-10-python.tar.gz`/batch folder, or an MNIST idx pair
-(reference :255-327). LMDB requires the `lmdb` package, absent in this
-environment — a clear error explains that (reference :270-292).
+CIFAR-10 `cifar-10-python.tar.gz`/batch folder, an MNIST idx pair
+(reference :255-327), or an LSUN LMDB environment (reference :270-292)
+read by the vendored pure-Python parser in `data/lmdb_reader.py` (no
+`lmdb` wheel in this environment).
 Transforms: scale (default), center-crop, center-crop-wide
 (reference make_transform :218-259). Output: a folder or .zip.
 """
@@ -160,13 +161,6 @@ def convert_dataset(source, dest, resolution=None, transform=None,
                     max_images=None):
     from PIL import Image
 
-    if source.endswith('.mdb') or os.path.isdir(source) and \
-            os.path.exists(os.path.join(source, 'data.mdb')):
-        raise RuntimeError(
-            'LMDB sources need the `lmdb` package, which is not available '
-            'in this environment; convert the LMDB export to an image '
-            'folder first (reference dataset_tool.py:270-292)')
-
     tfm = make_transform(transform, resolution, resolution)
     writer = _Writer(dest)
     out_labels = []
@@ -184,6 +178,35 @@ def convert_dataset(source, dest, resolution=None, transform=None,
             onehot = [1 if i == label else 0 for i in range(10)]
         out_labels.append([rel, onehot])
         count += 1
+
+    if source.endswith('.mdb') or (os.path.isdir(source) and
+                                   os.path.exists(os.path.join(source,
+                                                               'data.mdb'))):
+        # LSUN LMDB export (reference dataset_tool.py:255-292 open_lmdb):
+        # values are encoded images (webp/jpg), keys are ignored, no labels.
+        # Read via the vendored pure-Python parser — no lmdb wheel needed.
+        import io
+
+        from ..data.lmdb_reader import LMDBReader
+        with LMDBReader(source) as reader:
+            for _key, val in reader.items():
+                if max_images is not None and count >= max_images:
+                    break
+                try:
+                    img = np.array(Image.open(io.BytesIO(val)).convert('RGB'))
+                except Exception:
+                    continue  # reference skips undecodable entries too
+                out = tfm(img)
+                if out is None:
+                    continue
+                rel = f'img{count // 1000:05d}/img{count:08d}.png'
+                writer.write_image(rel, out)
+                count += 1
+        writer.write_bytes('dataset.json', json.dumps(
+            {'labels': []}).encode())
+        writer.close()
+        print(f'packed {count} lmdb items -> {dest}')
+        return
 
     if source.endswith('.tar.gz') or (os.path.isdir(source) and any(
             n.startswith('data_batch') for n in os.listdir(source))):
