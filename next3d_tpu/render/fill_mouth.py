@@ -6,10 +6,15 @@ every pixel NOT 4-connected-reachable from corner (0, 0) through pixels with
 alpha*255 <= 254 is set to 1 (this closes the mouth interior, which FLAME
 does not model); reachable pixels keep their alpha.
 
-Here the flood fill runs on-device as iterated 4-neighbourhood dilation
-masked by the fillable region — a short ``lax.scan`` of cheap stencil ops.
-A multigrid schedule (coarse fill, upsample, refine) keeps the iteration
-count low: connectivity is resolved at 1/4 resolution first.
+Here the flood fill runs on-device as directional sweeps: one round
+propagates reachability along every row (both ways) and every column (both
+ways) with an associative boolean scan, and rounds iterate to a fixpoint
+under ``lax.while_loop``. Each round resolves one "turn" of the shortest
+fillable path, so real silhouettes converge in a handful of rounds, and the
+fixpoint test makes the result EXACT for any topology — a round-4 fix: the
+previous bounded multigrid schedule silently mis-filled a background region
+whose only path from the corner was a long thin channel (see
+docs/PARITY_RESIDUAL.md).
 """
 
 from __future__ import annotations
@@ -18,18 +23,103 @@ import jax
 import jax.numpy as jnp
 
 
-def _dilate4(m):
-    """One 4-connected dilation step of a {0,1} mask (..., H, W)."""
-    up = jnp.pad(m[..., 1:, :], [(0, 0)] * (m.ndim - 2) + [(0, 1), (0, 0)])
-    down = jnp.pad(m[..., :-1, :], [(0, 0)] * (m.ndim - 2) + [(1, 0), (0, 0)])
-    left = jnp.pad(m[..., :, 1:], [(0, 0)] * (m.ndim - 2) + [(0, 0), (0, 1)])
-    right = jnp.pad(m[..., :, :-1], [(0, 0)] * (m.ndim - 2) + [(0, 0), (1, 0)])
-    return jnp.maximum(m, jnp.maximum(jnp.maximum(up, down),
-                                      jnp.maximum(left, right)))
+def _sweep_axis(r, seg, f, axis):
+    """Propagate reachability BOTH ways along ``axis`` in one shot.
+
+    Within a maximal run of fillable cells every cell is reachable iff any
+    cell of the run is, so per direction it suffices to know whether a
+    reachable cell precedes you in your own run: with ``seg`` the run id
+    (cumsum of ~fillable along the axis — constant inside a run) the
+    running ``cummax`` of (reachable ? seg : -1) equals ``seg`` exactly
+    when some reachable cell at or before you shares your run. cumsum and
+    cummax are single fused lax primitives — an earlier associative_scan
+    formulation of the same sweep compiled ~60s on TPU; this compiles in
+    seconds.
+    """
+    # Direction matters for the sentinel ordering: run ids increase along
+    # the axis, so the forward (prefix) max can only be masked by LATER
+    # runs — which a prefix never sees — while the backward (suffix) max
+    # must use NEGATED ids so that later runs tag LOWER and cannot mask a
+    # same-run hit.
+    fwd = jax.lax.cummax(jnp.where(r, seg, -1), axis=axis)
+    bwd = jax.lax.cummax(jnp.where(r, -seg, jnp.iinfo(jnp.int32).min),
+                         axis=axis, reverse=True)
+    return r | (f & ((fwd == seg) | (bwd == -seg)))
 
 
-def _flood_from_corner(fillable, iters):
-    """Reachable set from pixel (0,0) through ``fillable`` (4-connectivity)."""
+def _flood_reachable(fillable, seed):
+    """Exact 4-connected reachable set from ``seed`` through ``fillable``.
+
+    fillable, seed: (..., H, W) bool. One round resolves every straight
+    segment of a fillable path; rounds iterate to a fixpoint, so the result
+    is exact for any topology (spirals included).
+    """
+    r0 = seed & fillable
+    nf = (~fillable).astype(jnp.int32)
+    ax_w = fillable.ndim - 1
+    ax_h = fillable.ndim - 2
+    seg_w = jnp.cumsum(nf, axis=ax_w)
+    seg_h = jnp.cumsum(nf, axis=ax_h)
+
+    def round_(r):
+        r = _sweep_axis(r, seg_w, fillable, ax_w)
+        r = _sweep_axis(r, seg_h, fillable, ax_h)
+        return r
+
+    def cond(state):
+        _r, prev_n, n = state
+        return n != prev_n
+
+    def body(state):
+        r, _prev_n, n = state
+        r = round_(r)
+        return r, n, jnp.sum(r.astype(jnp.int32))
+
+    r = round_(r0)
+    r, _, _ = jax.lax.while_loop(
+        cond, body, (r, jnp.int32(-1), jnp.sum(r.astype(jnp.int32))))
+    return r
+
+
+def fill_mouth(images):
+    """images: (B, 1, H, W) alpha in [0, 1] -> filled alpha.
+
+    Matches the reference's floodFill semantics (renderer.py:583-601):
+    alpha' = 1 on pixels unreachable from corner (0, 0), original alpha
+    elsewhere. The fillable threshold alpha*255 <= 254 mirrors
+    FLOODFILL_FIXED_RANGE with upDiff=254 from a 0-valued seed.
+    """
+    B, C, H, W = images.shape
+    assert C == 1
+    a = images[:, 0]
+    fillable = a * 255.0 <= 254.0
+    seed = jnp.zeros_like(fillable).at[:, 0, 0].set(True)
+    reachable = _flood_reachable(fillable, seed)
+    filled = jnp.where(reachable, a, jnp.ones_like(a))
+    return filled[:, None]
+
+
+def fill_mouth_exact(images, iters=None):
+    """Single-resolution dilation flood (independent formulation, for
+    cross-validation in tests; O(H+W) stencil steps)."""
+    B, C, H, W = images.shape
+    a = images[:, 0]
+    fillable = (a * 255.0 <= 254.0).astype(a.dtype)
+    if iters is None:
+        iters = H + W
+
+    def _dilate4(m):
+        up = jnp.pad(m[..., 1:, :],
+                     [(0, 0)] * (m.ndim - 2) + [(0, 1), (0, 0)])
+        down = jnp.pad(m[..., :-1, :],
+                       [(0, 0)] * (m.ndim - 2) + [(1, 0), (0, 0)])
+        left = jnp.pad(m[..., :, 1:],
+                       [(0, 0)] * (m.ndim - 2) + [(0, 0), (0, 1)])
+        right = jnp.pad(m[..., :, :-1],
+                        [(0, 0)] * (m.ndim - 2) + [(0, 0), (1, 0)])
+        return jnp.maximum(m, jnp.maximum(jnp.maximum(up, down),
+                                          jnp.maximum(left, right)))
+
     seed = jnp.zeros_like(fillable)
     seed = seed.at[..., 0, 0].set(fillable[..., 0, 0])
 
@@ -37,49 +127,5 @@ def _flood_from_corner(fillable, iters):
         return jnp.minimum(_dilate4(m), fillable), None
 
     out, _ = jax.lax.scan(step, seed, None, length=iters)
-    return out
-
-
-def fill_mouth(images, coarse_iters=96, refine_iters=24):
-    """images: (B, 1, H, W) alpha in [0, 1] -> filled alpha.
-
-    Matches the reference's floodFill semantics (renderer.py:583-601):
-    alpha' = 1 on pixels unreachable from the corner, original alpha
-    elsewhere. The fillable threshold alpha*255 <= 254 mirrors
-    FLOODFILL_FIXED_RANGE with upDiff=254 from a 0-valued seed.
-    """
-    B, C, H, W = images.shape
-    assert C == 1
-    a = images[:, 0]
-    fillable = (a * 255.0 <= 254.0).astype(a.dtype)
-
-    # Coarse pass at 1/4 resolution. A coarse cell counts as fillable only if
-    # ALL of its pixels are (min-pool): coarse reachability then UNDER-
-    # approximates true reachability (any coarse path implies a fine path),
-    # so the fine refinement below can only expand it toward the exact
-    # answer — over-approximation could never be corrected.
-    f4 = fillable.reshape(B, H // 4, 4, W // 4, 4).min(axis=(2, 4))
-    r4 = _flood_from_corner(f4, coarse_iters)
-    # upsample reachability and clip to the fine fillable set, then refine
-    r = jnp.repeat(jnp.repeat(r4, 4, axis=1), 4, axis=2) * fillable
-    # make sure the true seed is present
-    r = r.at[:, 0, 0].set(fillable[:, 0, 0])
-
-    def step(m, _):
-        return jnp.minimum(_dilate4(m), fillable), None
-
-    r, _ = jax.lax.scan(step, r, None, length=refine_iters)
-    reachable = r > 0.5
-    filled = jnp.where(reachable, a, jnp.ones_like(a))
-    return filled[:, None]
-
-
-def fill_mouth_exact(images, iters=None):
-    """Single-resolution flood fill (exact; for validation)."""
-    B, C, H, W = images.shape
-    a = images[:, 0]
-    fillable = (a * 255.0 <= 254.0).astype(a.dtype)
-    if iters is None:
-        iters = H + W
-    reachable = _flood_from_corner(fillable, iters) > 0.5
+    reachable = out > 0.5
     return jnp.where(reachable, a, jnp.ones_like(a))[:, None]

@@ -49,6 +49,59 @@ def test_fill_mouth_matches_cv2(rng, impl):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_fill_mouth_thin_border_channel(rng):
+    """Round-4 regression: a background region whose ONLY path from the
+    (0, 0) seed is a long 1-px channel hugging the border. The old bounded
+    multigrid schedule mis-filled exactly this topology on the real FFHQ
+    face silhouette (it touches the frame edge, leaving the bottom-right
+    background connected only along the frame border) — see
+    docs/PARITY_RESIDUAL.md."""
+    size = 128
+    a = np.ones((size, size), np.float32)
+    a[0, :] = 0.0          # top border channel from the seed
+    a[:, -1] = 0.0         # right border channel down to the corner
+    a[-1, 60:] = 0.0       # bottom-right pocket reachable only via above
+    a[90:, 60] = 0.0
+    imgs = a[None, None]
+    want = cv2_fill_mouth(imgs)
+    got = np.asarray(fill_mouth(jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fill_mouth_backward_masking(rng):
+    """Adversarial layout for the cummax sweep: the cell at (2, 0) is
+    reachable only through a same-run source AFTER it (backward sweep),
+    while a reachable cell in a LATER run sits further right on the same
+    row — with naive suffix-max tags the later run masks the same-run hit
+    permanently (fixpoint converges wrong). Guards the negated-id tagging
+    in fill_mouth._sweep_axis."""
+    m = np.zeros((3, 4), np.float32)
+    m[1, 0] = m[1, 2] = m[2, 2] = 1.0
+    imgs = m[None, None]
+    want = cv2_fill_mouth(imgs)
+    got = np.asarray(fill_mouth(jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fill_mouth_spiral_channel(rng):
+    """Worst-case path length (spiral): the fixpoint sweep must stay exact
+    where any bounded iteration schedule breaks."""
+    size = 64
+    m = np.ones((size, size), np.float32)
+    lo, hi = 0, size - 1
+    while lo < hi:
+        m[lo, lo:hi + 1] = 0
+        m[lo:hi + 1, hi] = 0
+        m[hi, lo:hi + 1] = 0
+        m[lo + 2:hi + 1, lo] = 0
+        lo += 2
+        hi -= 2
+    imgs = m[None, None]
+    want = cv2_fill_mouth(imgs)
+    got = np.asarray(fill_mouth(jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_fill_mouth_no_hole_is_identity(rng):
     imgs = np.zeros((1, 1, 64, 64), np.float32)
     imgs[:, :, 20:40, 20:40] = 1.0

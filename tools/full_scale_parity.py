@@ -44,7 +44,19 @@ FULL = dict(channel_base=32768, channel_max=512)
 NRR = 64
 
 
-def main():
+def run_pair(capture=None):
+    """Build both generators, transfer weights, run both forwards.
+
+    Returns (want, got, report): torch-reference outputs (numpy), our
+    outputs (numpy), and a partially-filled report dict. Shared by the
+    parity gate (main) and the residual-localization tools
+    (tools/parity_residual.py / parity_planes.py, VERDICT r3 weak #5).
+
+    If ``capture`` is a dict, intermediate tensors are stashed into it:
+    ``planes_ref``/``planes_jax`` (the blended tri-planes entering the
+    volume renderer) and ``raw_feat_ref``/``raw_feat_jax`` (the
+    renderer's 32-ch feature output before SR).
+    """
     import_reference()
     import torch
 
@@ -107,6 +119,16 @@ def main():
 
         torch.rand_like = fake_rand_like
         torch.rand = fake_rand
+        if capture is not None:
+            ref_renderer_fwd = G_ref.renderer.forward
+
+            def spy_fwd(planes, *a, **k):
+                capture['planes_ref'] = planes.detach().numpy()
+                feat, depth, wsum = ref_renderer_fwd(planes, *a, **k)
+                capture['raw_feat_ref'] = feat.detach().numpy()
+                return feat, depth, wsum
+
+            G_ref.renderer.forward = spy_fwd
         t0 = time.time()
         with torch.no_grad():
             want = G_ref.synthesis(torch.as_tensor(ws), torch.as_tensor(c),
@@ -128,12 +150,34 @@ def main():
     got = {k: np.asarray(u) for k, u in got.items()}
     report['jax_seconds'] = round(time.time() - t0, 1)
     print(f'jax forward in {report["jax_seconds"]}s', flush=True)
+    if capture is not None:
+        from next3d_tpu.render.ray_sampler import sample_rays
+        planes, _eg3d_ws = G.build_planes(params, jnp.asarray(ws),
+                                          jnp.asarray(v), noise_mode='const',
+                                          rng=None)
+        capture['planes_jax'] = np.asarray(planes)
+        cj = jnp.asarray(c)
+        ro, rd = sample_rays(cj[:, :16].reshape(-1, 4, 4),
+                             cj[:, 16:25].reshape(-1, 3, 3), NRR)
+        feat, _depth, _w = G.renderer(None, planes,
+                                      (params['decoder'], G.decoder), ro, rd,
+                                      G.rendering_kwargs)
+        capture['raw_feat_jax'] = np.asarray(feat)
+        print('intermediates captured', flush=True)
+    want = {k: want[k].numpy() for k in ('image', 'image_raw', 'image_depth')}
+    return want, got, report
 
+
+def main():
+    want, got, report = run_pair()
     ok = True
-    for key, max_tol, mean_tol in (('image', 5e-2, 3e-3),
-                                   ('image_raw', 5e-2, 3e-3),
-                                   ('image_depth', 1e-1, 8e-3)):
-        w = want[key].numpy()
+    # Tolerances tightened in round 4 after the fill_mouth flood-fill fix
+    # (docs/PARITY_RESIDUAL.md): measured residual is now fp32 noise
+    # (image max-abs 1.5e-4), so anything above ~2e-3 is a regression.
+    for key, max_tol, mean_tol in (('image', 2e-3, 1e-4),
+                                   ('image_raw', 2e-3, 1e-4),
+                                   ('image_depth', 4e-3, 2e-4)):
+        w = want[key]
         g = got[key]
         d = np.abs(g - w)
         rec = dict(shape=list(g.shape), max_abs=float(d.max()),
