@@ -35,6 +35,24 @@ FFHQ_RENDERING_KWARGS = dict(
 )
 
 
+# per-dataset rendering blocks (reference train_next3d.py:330-360); ffhq's
+# values live in FFHQ_RENDERING_KWARGS above
+CFG_RENDERING_BLOCKS = {
+    'ffhq': dict(
+        depth_resolution=48, depth_resolution_importance=48,
+        ray_start=2.25, ray_end=3.3, box_warp=1.0,
+        avg_camera_radius=2.7, avg_camera_pivot=[0, 0, 0.2]),
+    'afhq': dict(
+        depth_resolution=36, depth_resolution_importance=36,
+        ray_start=2.25, ray_end=3.3, box_warp=1.0,
+        avg_camera_radius=2.7, avg_camera_pivot=[0, 0, -0.06]),
+    'shapenet': dict(
+        depth_resolution=64, depth_resolution_importance=64,
+        ray_start=0.1, ray_end=2.6, box_warp=1.6, white_back=True,
+        avg_camera_radius=1.7, avg_camera_pivot=[0, 0, 0]),
+}
+
+
 def build_generator_from_kwargs(init_kwargs, topology_path,
                                 uv_face_eye_mask_path=None):
     """Construct our TriPlaneGenerator from reference init_kwargs (as stored

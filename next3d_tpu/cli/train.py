@@ -91,6 +91,15 @@ def parse_metric_list(s):
 @click.option('--neural-rendering-resolution-fade-kimg', type=float,
               default=1000.0)
 @click.option('--blur-fade-kimg', type=float, default=200.0)
+@click.option('--cfg', type=click.Choice(['ffhq', 'afhq', 'shapenet']),
+              default='ffhq',
+              help='per-dataset rendering block: depth budget, ray range, '
+                   'box_warp, camera stats (reference train_next3d.py'
+                   ':330-360)')
+@click.option('--model-version', 'model_version',
+              type=click.Choice(['next3d', 'texture']), default='next3d',
+              help='generator variant (reference --model_version; "texture" '
+                   '= no mouth/blending nets, train_next3d.py:295)')
 @click.option('--plane-resolution', type=int, default=256)
 @click.option('--dataset-type', type=click.Choice(['image', 'video']),
               default='image',
@@ -130,6 +139,7 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
           neural_rendering_resolution_final=None,
           neural_rendering_resolution_fade_kimg=1000.0,
           blur_fade_kimg=200.0,
+          cfg='ffhq', model_version='next3d',
           plane_resolution=256, dataset_type='image',
           num_frames_per_video=1, max_num_frames=1024, max_dist=32,
           sampling_type='random', dry_run=False):
@@ -141,7 +151,9 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
     from ..train import (LossConfig, StyleGAN2Loss, TrainStep, make_optimizer)
     from ..train.training_loop import training_loop
 
+    from .common import CFG_RENDERING_BLOCKS
     rendering_kwargs = dict(FFHQ_RENDERING_KWARGS)
+    rendering_kwargs.update(CFG_RENDERING_BLOCKS[cfg])
     rendering_kwargs.update(
         c_gen_conditioning_zero=not gen_pose_cond,
         gpc_reg_prob=gpc_reg_prob if gen_pose_cond else None,
@@ -153,7 +165,10 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         image_resolution=resolution,
     )
 
-    G = TriPlaneGenerator(
+    from ..models import TriPlaneTextureGenerator
+    G_cls = {'next3d': TriPlaneGenerator,
+             'texture': TriPlaneTextureGenerator}[model_version]
+    G = G_cls(
         z_dim=512, c_dim=25, w_dim=512, img_resolution=resolution,
         img_channels=3, topology_path=topology_path,
         uv_face_eye_mask_path=eye_mask_path,
@@ -223,6 +238,7 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         mesh=data_parallel_mesh(devices))
 
     config = dict(outdir=outdir, data=data_path, batch=batch_size,
+                  cfg=cfg, model_version=model_version,
                   gamma=r1_gamma, kimg=total_kimg, glr=glr, dlr=dlr,
                   aug=aug, ada_target=ada_target, aug_p=aug_p,
                   freezed=freezed, mirror=mirror,
@@ -249,6 +265,33 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
         dataset = ImageFolderDataset(data_path, resolution=resolution,
                                      xflip=mirror)
         dataset.prebake()
+    # training-image observability (reference training_loop.py:277-282 builds
+    # reals.png at setup; :428-435 saves fakes<kimg>.png/_raw from G_ema each
+    # image-snapshot tick). Rank 0 only: grids are host-side IO.
+    snapshot_vis_batch = None
+    if jax.process_index() == 0:
+        from .common import save_image_grid
+        os.makedirs(outdir, exist_ok=True)
+        vis_n = int(min(16, batch_size, len(dataset)))
+        vis_rnd = np.random.RandomState(seed)
+        idx = vis_rnd.choice(len(dataset), vis_n, replace=False)
+        items = [dataset[int(i)] for i in idx]
+
+        def _frame0(a, base_ndim):
+            # video items carry a leading T axis; grid the first frame
+            a = np.asarray(a)
+            return a[0] if a.ndim == base_ndim + 1 else a
+        reals = np.stack([_frame0(im, 3) for im, _, _ in items])
+        save_image_grid(reals, os.path.join(outdir, 'reals.png'),
+                        drange=(0, 255))
+        snapshot_vis_batch = dict(
+            gen_z=vis_rnd.randn(vis_n, 512).astype(np.float32),
+            gen_c=np.stack([_frame0(c, 1) for _, c, _ in items]
+                           ).astype(np.float32),
+            gen_v=np.stack([_frame0(v, 2) for _, _, v in items]
+                           ).astype(np.float32),
+            nrr=neural_rendering_resolution_initial)
+
     # each host loads only ITS strided slice of the global batch
     # (reference analog: rank-strided InfiniteSampler, misc.py:139)
     assert batch_size % jax.process_count() == 0, \
@@ -257,17 +300,21 @@ def train(outdir, data_path, num_devices=None, batch_size=32, r1_gamma=4.0,
                             rank=jax.process_index(),
                             num_replicas=jax.process_count(), seed=seed,
                             prefetch=workers)
-    training_loop(G, D, loss_obj, step, it, run_dir=outdir,
-                  total_kimg=total_kimg, batch_size=batch_size,
-                  ema_kimg=batch_size * 10 / 32, ema_rampup=ema_rampup,
-                  g_reg_interval=g_reg_interval,
-                  kimg_per_tick=kimg_per_tick, snapshot_ticks=snapshot_ticks,
-                  resume_path=resume_path, seed=seed, config=config,
-                  dataset=dataset,
-                  ada_target=ada_target if aug == 'ada' else None,
-                  augment_p=aug_p if aug == 'fixed' else 0.0,
-                  ada_kimg=ada_kimg,
-                  metrics=parse_metric_list(metrics))
+    return training_loop(G, D, loss_obj, step, it, run_dir=outdir,
+                         total_kimg=total_kimg, batch_size=batch_size,
+                         ema_kimg=batch_size * 10 / 32,
+                         ema_rampup=ema_rampup,
+                         g_reg_interval=g_reg_interval,
+                         kimg_per_tick=kimg_per_tick,
+                         snapshot_ticks=snapshot_ticks,
+                         image_snapshot_ticks=snapshot_ticks,
+                         snapshot_vis_batch=snapshot_vis_batch,
+                         resume_path=resume_path, seed=seed, config=config,
+                         dataset=dataset,
+                         ada_target=ada_target if aug == 'ada' else None,
+                         augment_p=aug_p if aug == 'fixed' else 0.0,
+                         ada_kimg=ada_kimg,
+                         metrics=parse_metric_list(metrics))
 
 
 if __name__ == '__main__':

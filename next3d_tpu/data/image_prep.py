@@ -121,10 +121,31 @@ def align_face(img, lm, output_size=1500, transform_size=4096,
                 1.0 - np.minimum(np.float32(yy) / pad[1],
                                  np.float32(h - 1 - yy) / pad[3]))[..., None]
         mask = np.nan_to_num(mask, posinf=0.0, neginf=0.0)
-        blur = qsize * 0.02
-        blurred = scipy.ndimage.gaussian_filter(arr, [blur, blur, 0])
-        arr += (blurred - arr) * np.clip(mask * 3.0 + 1.0, 0.0, 1.0)
-        arr += (np.median(arr, axis=(0, 1)) - arr) * np.clip(mask, 0.0, 1.0)
+        try:
+            # exact reference background model (align_multiprocess.py:130-140):
+            # blur a 0.1x INTER_AREA pyramid level, LANCZOS4 it back up, blend;
+            # then blend toward the 0.1x median. Pixel-parity-tested against
+            # process_image in tests/test_image_prep.py.
+            import cv2
+            low_res = cv2.resize(arr, (0, 0), fx=0.1, fy=0.1,
+                                 interpolation=cv2.INTER_AREA)
+            blur = qsize * 0.02 * 0.1
+            low_res = scipy.ndimage.gaussian_filter(low_res, [blur, blur, 0])
+            low_res = cv2.resize(low_res, (arr.shape[1], arr.shape[0]),
+                                 interpolation=cv2.INTER_LANCZOS4)
+            arr += (low_res - arr) * np.clip(mask * 3.0 + 1.0, 0.0, 1.0)
+            median = cv2.resize(arr, (0, 0), fx=0.1, fy=0.1,
+                                interpolation=cv2.INTER_AREA)
+            median = np.median(median, axis=(0, 1))
+            arr += (median - arr) * np.clip(mask, 0.0, 1.0)
+        except ImportError:
+            # cv2-free approximation: full-res gaussian + full-res median
+            # (visually equivalent synthetic background, not bit-exact)
+            blur = qsize * 0.02
+            blurred = scipy.ndimage.gaussian_filter(arr, [blur, blur, 0])
+            arr += (blurred - arr) * np.clip(mask * 3.0 + 1.0, 0.0, 1.0)
+            arr += (np.median(arr, axis=(0, 1)) - arr) * np.clip(mask, 0.0,
+                                                                 1.0)
         img = PIL.Image.fromarray(
             np.uint8(np.clip(np.rint(arr), 0, 255)), 'RGB')
         quad += pad[:2]
@@ -334,8 +355,12 @@ def crop_dataset(source, dest, cropping_params=None, max_images=None):
         if not os.path.isfile(src):
             continue
         img = PIL.Image.open(src).convert('RGB')
+        # cropping_params 'lm' is stored TOP-LEFT-origin, exactly what
+        # align_crop_resize takes: it performs the bottom-left conversion
+        # for the POS fit internally (the reference splits this across
+        # crop_images.py:38-40 + align_img; doing both here would mirror
+        # the vertical crop for any off-center face)
         lm = np.array(p['lm'], np.float64).reshape(-1, 2)
-        lm[:, 1] = img.size[1] - 1 - lm[:, 1]  # crop_images.py:38-40
         cropped, _ = align_crop_resize(
             img, lm, lm3d_std=np.array(p['lm3d_std'], np.float64),
             rescale_factor=p['rescale_factor'],

@@ -187,8 +187,14 @@ class LMDBReader:
         oflags, _ = self._page_meta(off)
         if not oflags & P_OVERFLOW:
             raise LMDBFormatError('BIGDATA node points at a non-overflow page')
-        # data starts after the first page header and runs contiguously
+        # data starts after the first page header and runs contiguously;
+        # a value spanning several pages must fit entirely in the file —
+        # a silent short mmap slice would masquerade as a corrupt image
         start = off + PAGEHDRSZ
+        if start + dsize > len(self._mm):
+            raise LMDBFormatError(
+                f'truncated data.mdb: overflow value at page {pgno} needs '
+                f'{start + dsize} bytes, file has {len(self._mm)}')
         return bytes(self._mm[start:start + dsize])
 
     def __len__(self):

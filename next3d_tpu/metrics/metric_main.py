@@ -74,6 +74,30 @@ def pr50k3_full(opts):
             'pr50k3_full_recall': recall}
 
 
+# ------------------------------------------------------------------ legacy
+# 50k-subset variants (reference metric_main.py:132-153): identical math but
+# real statistics limited to the first 50k images instead of the full set.
+
+@register_metric
+def fid50k(opts):
+    from .frechet_inception_distance import compute_fid
+    return {'fid50k': compute_fid(opts, max_real=50000, num_gen=50000)}
+
+
+@register_metric
+def kid50k(opts):
+    from .kernel_inception_distance import compute_kid
+    return {'kid50k': compute_kid(opts, max_real=50000, num_gen=50000)}
+
+
+@register_metric
+def pr50k3(opts):
+    from .precision_recall import compute_pr
+    precision, recall = compute_pr(opts, max_real=50000, num_gen=50000,
+                                   nhood_size=3)
+    return {'pr50k3_precision': precision, 'pr50k3_recall': recall}
+
+
 @register_metric
 def is50k(opts):
     from .inception_score import compute_is
@@ -126,5 +150,13 @@ def reenact_dist500(opts):
 @register_metric
 def ppl2_wend(opts):
     from .perceptual_path_length import compute_ppl
-    return {'ppl2_wend': compute_ppl(opts, num_samples=2000, epsilon=1e-4,
+    return {'ppl2_wend': compute_ppl(opts, num_samples=50000, epsilon=1e-4,
                                      space='w', sampling='end')}
+
+
+@register_metric
+def ppl2_wend2k(opts):
+    """Quick 2k-sample PPL variant (not in the reference registry)."""
+    from .perceptual_path_length import compute_ppl
+    return {'ppl2_wend2k': compute_ppl(opts, num_samples=2000, epsilon=1e-4,
+                                       space='w', sampling='end')}

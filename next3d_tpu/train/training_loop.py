@@ -153,6 +153,11 @@ def training_loop(
         # gen batches are computed identically on every process at the
         # GLOBAL batch size from the shared seed
         real_img = shard_host_local_batch(host_batch['image'], mesh)
+        # real_c rides with real_img: both are process-LOCAL rows from the
+        # strided iterator (reference pairs them the same way at
+        # training_loop.py:315); routing it through shard_batch would build
+        # a wrong-sized global array under process_count>1
+        real_c = shard_host_local_batch(host_batch['c'], mesh)
         rng, k_z, k_step = jax.random.split(rng, 3)
         gen_z = np.asarray(jax.random.normal(
             k_z, (batch_size, G.z_dim), np.float32))
@@ -171,8 +176,8 @@ def training_loop(
             'gen_z': gen_z,
             'gen_c': gen_c,
             'gen_v': gen_v,
-            'real_c': host_batch['c'],
         }, mesh)
+        batch['real_c'] = real_c
 
         sched, nrr = loss_obj.schedules(cur_nimg)
         sched['aug_p'] = ada_p
@@ -334,33 +339,37 @@ def _eval_metrics(G, state, dataset, metrics, run_dir, snapshot_path,
 
 
 def _restore_opt(template, saved):
-    """Rebuild optimizer state preserving optax's structure.
+    """Rebuild optimizer state, validating optax's structure.
 
-    The snapshot stores the optimizer state as a plain nested container
-    (utils/checkpoint.py strips optax's named-tuple types); restore by
-    matching the SHAPE of every leaf against the freshly-initialized
-    template rather than trusting flat-leaf order alone — a silent
-    flat-order zip would scramble moments if optax's tree structure changed
-    between save and load (version bump, different reg_interval chain).
+    The snapshot pickles the optax state with its container types intact
+    (namedtuple round-trip verified), so every leaf's KEY PATH is compared
+    against the freshly-initialized template — a permutation of same-shaped
+    leaves (e.g. an optax version swapping mu/nu field order) is caught,
+    not just shape mismatches. Leaf shapes are checked as well.
     """
     import jax
-    leaves_saved, treedef_saved = jax.tree.flatten(saved)
-    leaves_tmpl, treedef = jax.tree.flatten(template)
-    if len(leaves_saved) != len(leaves_tmpl):
+    from jax.tree_util import keystr, tree_flatten_with_path
+    kp_saved, _ = tree_flatten_with_path(saved)
+    kp_tmpl, treedef = tree_flatten_with_path(template)
+    if len(kp_saved) != len(kp_tmpl):
         raise ValueError(
-            f'optimizer-state mismatch: snapshot has {len(leaves_saved)} '
-            f'leaves, current optimizer expects {len(leaves_tmpl)} '
+            f'optimizer-state mismatch: snapshot has {len(kp_saved)} '
+            f'leaves, current optimizer expects {len(kp_tmpl)} '
             f'(optax structure changed between save and load — resume with '
             f'matching optimizer config or warm-start params only)')
-    for i, (s, t) in enumerate(zip(leaves_saved, leaves_tmpl)):
-        s_shape = getattr(s, 'shape', ())
-        t_shape = getattr(t, 'shape', ())
-        if tuple(s_shape) != tuple(t_shape):
+    for i, ((ks, s), (kt, t)) in enumerate(zip(kp_saved, kp_tmpl)):
+        if keystr(ks) != keystr(kt):
             raise ValueError(
-                f'optimizer-state mismatch at leaf {i}: snapshot shape '
-                f'{tuple(s_shape)} vs expected {tuple(t_shape)} '
-                f'(paths: saved {treedef_saved} vs template {treedef})')
-    return jax.tree.unflatten(treedef, leaves_saved)
+                f'optimizer-state key-path mismatch at leaf {i}: snapshot '
+                f'{keystr(ks)} vs expected {keystr(kt)} (optax structure '
+                f'changed between save and load)')
+        s_shape = tuple(getattr(s, 'shape', ()))
+        t_shape = tuple(getattr(t, 'shape', ()))
+        if s_shape != t_shape:
+            raise ValueError(
+                f'optimizer-state mismatch at {keystr(ks)}: snapshot shape '
+                f'{s_shape} vs expected {t_shape}')
+    return jax.tree.unflatten(treedef, [s for _, s in kp_saved])
 
 
 def _save_fakes_grid(G, state, vis_batch, run_dir, cur_nimg):
@@ -377,6 +386,7 @@ def _save_fakes_grid(G, state, vis_batch, run_dir, cur_nimg):
         out = G.synthesis(params, ws,
                           jnp.asarray(vis_batch['gen_c']),
                           jnp.asarray(vis_batch['gen_v']),
+                          neural_rendering_resolution=vis_batch.get('nrr'),
                           noise_mode='const')
         save_image_grid(np.asarray(out['image']),
                         os.path.join(run_dir,

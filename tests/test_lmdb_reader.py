@@ -144,6 +144,20 @@ def test_reader_walks_tree_and_overflow(tmp_path):
     assert d[b'c-big'] == BIG_VALUE  # spans two overflow pages
 
 
+def test_reader_raises_on_truncated_overflow(tmp_path):
+    # chop the final overflow page off: the multi-page value can no longer
+    # be fully materialized and must raise, not silently return short bytes
+    env = tmp_path / 'trunc'
+    build_env(str(env))
+    p = os.path.join(str(env), 'data.mdb')
+    size = os.path.getsize(p)
+    with open(p, 'r+b') as f:
+        f.truncate(size - PSIZE)
+    with LMDBReader(str(env)) as r:
+        with pytest.raises(LMDBFormatError, match='truncated'):
+            list(r.items())
+
+
 def test_reader_picks_newest_meta(tmp_path):
     # meta0 claims an empty DB at txn 1; meta1 (txn 2) holds the real tree.
     env = tmp_path / 'e'

@@ -141,3 +141,10 @@ def test_video_training_e2e_through_cli(toy_video_dataset, tmp_path):
     # D was built for folded clips: 6 input channels, 50-dim conditioning
     opts = json.load(open(os.path.join(run_dir, "training_options.json")))
     assert opts["data"] == toy_video_dataset
+    # image observability wired end-to-end (reference training_loop.py
+    # :277-282 reals grid at setup, :428-435 fakes grids per snapshot tick)
+    assert os.path.exists(os.path.join(run_dir, "reals.png"))
+    fakes = [f for f in os.listdir(run_dir) if f.startswith("fakes")]
+    assert any(f.endswith("_raw.png") for f in fakes), os.listdir(run_dir)
+    assert any(f.endswith(".png") and not f.endswith("_raw.png")
+               for f in fakes), os.listdir(run_dir)

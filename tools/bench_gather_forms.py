@@ -69,6 +69,22 @@ def v_tak_pib(eps):
                                mode='promise_in_bounds')
 
 
+def v_dma(tile, depth):
+    """Per-row DMA ring (ops/pallas_dma_gather.py) — pinned NEGATIVE:
+    ~353 ns/descriptor at best (depth 128), ~31x the XLA gather rate."""
+    from next3d_tpu.ops.pallas_dma_gather import dma_gather_row_blocks
+
+    def fn(eps):
+        table, idx = mk_inputs(eps)
+        flat = table.reshape(B * HW, C)
+        fidx = (idx + (jnp.arange(B, dtype=jnp.int32) * HW)[:, None]
+                ).reshape(-1)
+        blocks = dma_gather_row_blocks(flat, fidx, tile, depth)
+        return jnp.take_along_axis(
+            blocks, (fidx % 8)[:, None, None], axis=1)[:, 0].reshape(B, M, C)
+    return fn
+
+
 def probe(name, fn):
     f = jax.jit(fn)
     out = f(jnp.float32(0.5))
@@ -87,6 +103,12 @@ if __name__ == '__main__':
           f'M={M}', flush=True)
     # include the input derivation cost once for reference
     probe('inputs_only', lambda e: mk_inputs(e)[1])
-    for name, fn in [('batched', v_batched), ('flat', v_flat),
-                     ('flat_pib', v_flat_pib), ('tak_pib', v_tak_pib)]:
+    variants = [('batched', v_batched), ('flat', v_flat),
+                ('flat_pib', v_flat_pib), ('tak_pib', v_tak_pib)]
+    if os.environ.get('DMA', '0') == '1':
+        variants = [('flat_pib', v_flat_pib)]
+        for tile in (1024, 4096):
+            for depth in (64, 128):
+                variants.append((f'dma_t{tile}_d{depth}', v_dma(tile, depth)))
+    for name, fn in variants:
         probe(name, fn)
