@@ -89,8 +89,9 @@ def _gather_kernel(idx_ref, table_ref, out_ref, sems, *, tile, depth):
     jax.lax.fori_loop(0, tile, body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def dma_gather_row_blocks(table, idx, tile=4096, depth=128):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def dma_gather_row_blocks(table, idx, tile=4096, depth=128,
+                          interpret=False):
     """out[i] = table[8*(idx[i]//8) : 8*(idx[i]//8)+8] via per-index DMAs.
 
     Args:
@@ -106,7 +107,8 @@ def dma_gather_row_blocks(table, idx, tile=4096, depth=128):
     """
     R, C = table.shape
     M = idx.shape[0]
-    assert M % tile == 0 and tile % 1024 == 0, (M, tile)
+    # the s32 SMEM layout quantum (1024) binds only in compiled mode
+    assert M % tile == 0 and (interpret or tile % 1024 == 0), (M, tile)
     assert depth & (depth - 1) == 0, depth
     assert R % 8 == 0, R
     kernel = functools.partial(_gather_kernel, tile=tile, depth=depth)
@@ -122,4 +124,5 @@ def dma_gather_row_blocks(table, idx, tile=4096, depth=128):
         out_shape=jax.ShapeDtypeStruct((M, 8, C), table.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(idx, table)

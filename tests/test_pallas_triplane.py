@@ -110,3 +110,22 @@ def test_fused_matches_xla_on_grid_coords(rng):
                                               interpret=True,
                                               precision='highest'))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dma_gather_row_blocks_interpret(rng):
+    """Correctness of the per-row DMA ring gather (ops/pallas_dma_gather.py;
+    a pinned-negative perf experiment, but its aligned-block semantics must
+    stay exact — hardware-validated in round 5, interpreted here)."""
+    from next3d_tpu.ops.pallas_dma_gather import dma_gather_row_blocks
+    table = jnp.asarray(rng.randn(64, 128), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 64, 96), jnp.int32)
+    out = dma_gather_row_blocks(table, idx, tile=32, depth=4, interpret=True)
+    assert out.shape == (96, 8, 128)
+    tn = np.asarray(table)
+    ix = np.asarray(idx)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  tn[((ix // 8) * 8)[:, None]
+                                     + np.arange(8)[None]])
+    # the requested row sits at idx % 8 inside its block
+    np.testing.assert_array_equal(
+        np.asarray(out)[np.arange(96), ix % 8], tn[ix])
