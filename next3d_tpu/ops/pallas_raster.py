@@ -411,20 +411,11 @@ def _binned_attr_kernel(starts_ref, slab_ref, fid_out, u_out, v_out, seg,
         v_out[0, 0] = jnp.where(hit, vrow, 0.0).reshape(128, 8).T
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
-                                    max_seg=MAX_SEG, interpret=False):
-    """Sort-binned rasterizer that ALSO emits barycentric-interpolated
-    per-face attributes (u, v) at the winning face of each pixel.
-
-    verts: (B, V, 3); faces: (F, 3); face_attrs: (B or 1, F, 3, 2) —
-    per-corner (u, v). Returns (pix_to_face (B,H,W) i32, u (B,H,W) f32,
-    v (B,H,W) f32). Visibility semantics identical to
-    ``rasterize_mesh_pallas_binned``; attribute values equal
-    ``interpolate_face_attributes`` (same unclamped barycentric affine).
-    Non-differentiable (inputs are stop-gradiented) — the flagship model
-    stop-gradients the rasterization anyway (triplane_next3d rasterize).
-    """
+def _binned_uv_entries(verts, faces, face_attrs, image_size, max_seg):
+    """XLA-side prep of the UV-emitting binned rasterizer: per-face affine
+    coefficients, 4 bbox-corner tile entries, multi-operand sort into the
+    (starts, slab) layout the kernel consumes. Split out so tools/profile.py
+    can time prep vs kernel independently."""
     verts = jax.lax.stop_gradient(verts)
     face_attrs = jax.lax.stop_gradient(face_attrs)
     B = verts.shape[0]
@@ -491,7 +482,29 @@ def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
     # each face's coeff row is replicated to its (up to) 4 tile entries so
     # the multi-operand sort can carry the payload with the key
     entries = jnp.repeat(coeffs, 4, axis=1)                  # (B, 4F, 24)
-    starts, slab = _binned_prep(entries, tids, T, max_seg)
+    return _binned_prep(entries, tids, T, max_seg)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
+                                    max_seg=MAX_SEG, interpret=False):
+    """Sort-binned rasterizer that ALSO emits barycentric-interpolated
+    per-face attributes (u, v) at the winning face of each pixel.
+
+    verts: (B, V, 3); faces: (F, 3); face_attrs: (B or 1, F, 3, 2) —
+    per-corner (u, v). Returns (pix_to_face (B,H,W) i32, u (B,H,W) f32,
+    v (B,H,W) f32). Visibility semantics identical to
+    ``rasterize_mesh_pallas_binned``; attribute values equal
+    ``interpolate_face_attributes`` (same unclamped barycentric affine).
+    Non-differentiable (inputs are stop-gradiented) — the flagship model
+    stop-gradients the rasterization anyway (triplane_next3d rasterize).
+    """
+    B = verts.shape[0]
+    H = W = image_size
+    Tx = W // TILE
+    T = Tx * (H // TILE)
+    starts, slab = _binned_uv_entries(verts, faces, face_attrs, image_size,
+                                      max_seg)
 
     kernel = functools.partial(_binned_attr_kernel, tiles_x=Tx,
                                max_seg=max_seg)

@@ -251,6 +251,14 @@ def mode_raster():
     faces = jnp.asarray(G.faces)
     attrs0 = jnp.asarray(G.face_uvcoords[..., :2])
 
+    def prep(p, eps):
+        from next3d_tpu.ops.pallas_raster import _binned_uv_entries
+        tv = mk_tv(p, eps)
+        attrs = jnp.broadcast_to(attrs0[None], (V * B,) + attrs0.shape)
+        return _binned_uv_entries(tv, faces, attrs, res,
+                                  4096)[1]
+    t_prep = probe("binned prep alone (sort 32x40k entries)", prep)
+
     def kernel(p, eps):
         from next3d_tpu.ops.pallas_raster import \
             rasterize_mesh_pallas_binned_uv
@@ -259,18 +267,21 @@ def mode_raster():
         pf, u, vv = rasterize_mesh_pallas_binned_uv(tv, faces, attrs, res)
         return u
     t_k = probe("binned UV raster kernel (32 meshes)", kernel)
+    sub("pallas kernel alone", t_k, t_prep)
 
     def texgather(p, eps):
+        # production form (models/triplane_next3d.py:292-313): views fold
+        # into the grid so the packed table is built at batch N, not V*N
         t = tex(p, eps)
-        tt = jnp.broadcast_to(t[None], (V,) + t.shape).reshape(
-            (V * B,) + t.shape[1:])
         if not G.force_fp32:
-            tt = tt.astype(jnp.bfloat16)
+            t = t.astype(jnp.bfloat16)
         eye = jnp.broadcast_to(jnp.asarray(G.uv_face_mask)[None, None],
-                               (V * B, 1, res, res)).astype(tt.dtype)
+                               (B, 1, res, res)).astype(t.dtype)
         u = kernel(p, eps)
         grid = jnp.stack([u, u], -1)
-        return grid_sample_2d(jnp.concatenate([tt, eye], 1), grid)
+        grid_vn = grid.reshape(V, B, res, res, 2).transpose(1, 0, 2, 3, 4)
+        grid_vn = grid_vn.reshape(B, V * res, res, 2)
+        return grid_sample_2d(jnp.concatenate([t, eye], 1), grid_vn)
     t_tx = probe("kernel + texture grid_sample (2.1M rows)", texgather)
     t_tex_b = probe("  (texture backbone alone)", tex)
     print(f"{'  -> texture gather alone':42s} "
