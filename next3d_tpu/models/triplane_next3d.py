@@ -169,6 +169,16 @@ class TriPlaneGenerator:
         tv = tv * np.asarray([1., -1., -1.]) + np.asarray([0., 0., 10.])
         res = self.uv_resolution
         patch_need = required_patch_size(tv, self.faces, res)
+        if self.rasterizer_impl == 'pallas_binned16':
+            # TILE=16 kernel: exact for spans < 32 px (3x3 entry rectangle)
+            # and per-tile occupancy within its smaller DMA window
+            from ..ops.pallas_raster import MAX_SEG16
+            seg_need = required_tile_capacity(tv, self.faces, res, tile=16)
+            if seg_need * 1.25 + 128 > MAX_SEG16 or patch_need >= 32 * 0.8:
+                raise ValueError(
+                    f'pallas_binned16: tile=16 segments need {seg_need} '
+                    f'entries (max_seg={MAX_SEG16}) / span {patch_need:.0f}px '
+                    f'at {res}px; use pallas_binned or tiled')
         if self.rasterizer_impl in ('auto', 'pallas_binned'):
             # per-tile segment capacity of the binned kernel (ADVICE r2):
             # a face emits at most ONE entry per tile (its 4 bbox-corner

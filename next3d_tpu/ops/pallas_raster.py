@@ -545,6 +545,256 @@ def rasterize_mesh_pallas_binned_uv(verts, faces, face_attrs, image_size,
     return unscramble(fid), unscramble(u), unscramble(v)
 
 
+# ---------------------------------------------------------------------------
+# TILE=16 UV variant. The binned kernel's inner cost is
+# (candidate entries) x (pixels per tile) — measured issue-bound at ~30 VPU
+# ops per (128-candidate packet, 8-pixel group). Quartering the tile area
+# (1024 -> 256 px) quarters that product for near-unchanged total entry
+# count; the price is the 3x3 bbox-rectangle emission (9 entries/face in
+# the sort instead of 4, extras routed to the dummy tile) because a <32px
+# face bbox can straddle 3 16px tiles per axis.
+# ---------------------------------------------------------------------------
+
+TILE16 = 16
+MAX_SEG16 = 1024  # FLAME @256 tile=16 occupancy 591 * 1.25 + 128 < 1024
+
+
+def _binned_attr_kernel16(starts_ref, slab_ref, fid_out, u_out, v_out, seg,
+                          zmin, fidc, ubuf, vbuf, dma_sem, *, tiles_x,
+                          max_seg, n_coeff=19):
+    """TILE=16 analog of ``_binned_attr_kernel`` (same slab rows).
+
+    Pixel layout: tile-local pixel p = g + s*32 (group g in 0..31, sublane
+    s in 0..7); image row = p // 16 = g//16 + s*2, col = p % 16 = g % 16
+    (32 % 16 == 0, so a (g, s)-column's 8 pixels share col g%16 — x is a
+    scalar and y an (8,1) vector per group, as in the TILE=32 kernel).
+    Carry row r = g*8 + s. The resolved 16x16 tile is emitted in the first
+    32 LANES of the (8,128) output block as [s, g] (pixel p = s*32 + g);
+    the XLA side slices [..., :32] and unscrambles.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+    base = b * (T + 1)
+    start = starts_ref[base + t]
+    n = starts_ref[base + t + 1] - start
+    astart = pl.multiple_of((start // 128) * 128, 128)
+    skip = start - astart
+
+    @pl.when(n == 0)
+    def _empty():
+        fid_out[0, 0] = jnp.full((8, 128), -1, jnp.int32)
+        u_out[0, 0] = jnp.zeros((8, 128), jnp.float32)
+        v_out[0, 0] = jnp.zeros((8, 128), jnp.float32)
+
+    @pl.when(n > 0)
+    def _nonempty():
+        cp = pltpu.make_async_copy(
+            slab_ref.at[b, :, pl.ds(astart, max_seg)], seg, dma_sem)
+        cp.start()
+
+        base_x = (t % tiles_x) * TILE16
+        base_y = (t // tiles_x) * TILE16
+        s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        gy_base = (base_y + s8 * 2).astype(jnp.float32)       # (8,1)
+
+        zmin[...] = jnp.full((256, 128), BIG_Z, jnp.float32)
+        fidc[...] = jnp.full((256, 128), 2.0 ** 30, jnp.float32)
+        ubuf[...] = jnp.zeros((256, 128), jnp.float32)
+        vbuf[...] = jnp.zeros((256, 128), jnp.float32)
+
+        cp.wait()
+
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def packet(i, _):
+            off = pl.multiple_of(i * 128, 128)
+            lane_g = lane128 + off
+            valid = (lane_g >= skip) & (lane_g < skip + n)       # (1,128)
+            c = [seg[j, pl.ds(off, 128)].reshape(1, 128)
+                 for j in range(n_coeff)]
+            (b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y,
+             zc, zx, zy, uc, ux, uy, vc, vx, vy, fidv) = c
+
+            def group(g, _):
+                gx = (base_x + g % TILE16).astype(jnp.float32)   # scalar
+                gy = gy_base + (g // TILE16).astype(jnp.float32)  # (8,1)
+                w0 = b0c + b0x * gx + b0y * gy                    # (8,128)
+                w1 = b1c + b1x * gx + b1y * gy
+                w2 = b2c + b2x * gx + b2y * gy
+                inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid
+                z = zc + zx * gx + zy * gy
+                z = jnp.where(inside, z, BIG_Z)
+                r = pl.multiple_of(g * 8, 8)
+                zold = zmin[pl.ds(r, 8), :]
+                fold = fidc[pl.ds(r, 8), :]
+                better = (z < zold) | ((z == zold) & (fidv < fold) & inside)
+                zmin[pl.ds(r, 8), :] = jnp.where(better, z, zold)
+                fidc[pl.ds(r, 8), :] = jnp.where(better, fidv, fold)
+                ubuf[pl.ds(r, 8), :] = jnp.where(
+                    better, uc + ux * gx + uy * gy, ubuf[pl.ds(r, 8), :])
+                vbuf[pl.ds(r, 8), :] = jnp.where(
+                    better, vc + vx * gx + vy * gy, vbuf[pl.ds(r, 8), :])
+                return 0
+
+            jax.lax.fori_loop(0, 32, group, 0)
+            return 0
+
+        nb = jnp.minimum(pl.cdiv(skip + n, 128), max_seg // 128)
+        jax.lax.fori_loop(0, nb, packet, 0)
+
+        # resolve across candidate lanes; (256,1) carry -> (8,32) [s, g]
+        zrow = jnp.min(zmin[...], axis=1, keepdims=True)          # (256,1)
+        ftie = jnp.where(zmin[...] == zrow, fidc[...], 2.0 ** 30)
+        frow = jnp.min(ftie, axis=1, keepdims=True)
+        sel = (zmin[...] == zrow) & (fidc[...] == frow)
+        urow = jnp.min(jnp.where(sel, ubuf[...], BIG_Z), axis=1,
+                       keepdims=True)
+        vrow = jnp.min(jnp.where(sel, vbuf[...], BIG_Z), axis=1,
+                       keepdims=True)
+        hit = frow < 2.0 ** 30
+
+        def emit(row, fill):
+            lanes32 = row.reshape(32, 8).T                        # (8,32)
+            return jnp.concatenate(
+                [lanes32, jnp.full((8, 96), fill, jnp.float32)], axis=1)
+
+        fid_out[0, 0] = emit(jnp.where(hit, frow, -1.0),
+                             -1.0).astype(jnp.int32)
+        u_out[0, 0] = emit(jnp.where(hit, urow, 0.0), 0.0)
+        v_out[0, 0] = emit(jnp.where(hit, vrow, 0.0), 0.0)
+
+
+def _binned_uv_entries16(verts, faces, face_attrs, image_size, max_seg):
+    """Prep for the TILE=16 UV kernel: same affine coefficients as
+    ``_binned_uv_entries`` but 9 tile entries per face (the 3x3 rectangle
+    from the bbox-min tile; out-of-rectangle and culled entries go to the
+    dummy tile). Exact for face bbox spans < 32 px (same guard as TILE=32:
+    span s overlaps at most ceil(s/16)+1 = 3 tiles per axis)."""
+    verts = jax.lax.stop_gradient(verts)
+    face_attrs = jax.lax.stop_gradient(face_attrs)
+    B = verts.shape[0]
+    F = faces.shape[0]
+    H = W = image_size
+    assert H % TILE16 == 0
+    Tx = W // TILE16
+    Ty = H // TILE16
+    T = Tx * Ty
+    faces = faces.astype(jnp.int32)
+
+    px = (verts[..., 0] + 1) * (W / 2) - 0.5
+    py = (verts[..., 1] + 1) * (H / 2) - 0.5
+    fx = px[:, faces]                                        # (B, F, 3)
+    fy = py[:, faces]
+    fz = verts[..., 2][:, faces]
+    x0, x1, x2 = fx[..., 0], fx[..., 1], fx[..., 2]
+    y0, y1, y2 = fy[..., 0], fy[..., 1], fy[..., 2]
+    z0, z1, z2 = fz[..., 0], fz[..., 1], fz[..., 2]
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    keep = area > 1e-8
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, area, 1.0), 0.0)
+
+    def edge_coeffs(xa, ya, xb, yb):
+        cx = -(yb - ya) * inv
+        cy = (xb - xa) * inv
+        cc = ((yb - ya) * xa - (xb - xa) * ya) * inv
+        return cc, cx, cy
+
+    b0c, b0x, b0y = edge_coeffs(x1, y1, x2, y2)
+    b1c, b1x, b1y = edge_coeffs(x2, y2, x0, y0)
+    b2c, b2x, b2y = edge_coeffs(x0, y0, x1, y1)
+
+    def affine(a0, a1, a2):
+        return (b0c * a0 + b1c * a1 + b2c * a2,
+                b0x * a0 + b1x * a1 + b2x * a2,
+                b0y * a0 + b1y * a1 + b2y * a2)
+
+    zc, zx, zy = affine(z0, z1, z2)
+    fa = jnp.broadcast_to(face_attrs, (B, F, 3, 2))
+    uc, ux, uy = affine(fa[..., 0, 0], fa[..., 1, 0], fa[..., 2, 0])
+    vc, vx, vy = affine(fa[..., 0, 1], fa[..., 1, 1], fa[..., 2, 1])
+    b0c = jnp.where(keep, b0c, -jnp.inf)
+    fidf = jnp.broadcast_to(jnp.arange(F, dtype=jnp.float32)[None], (B, F))
+    coeffs = jnp.stack([b0c, b0x, b0y, b1c, b1x, b1y, b2c, b2x, b2y,
+                        zc, zx, zy, uc, ux, uy, vc, vx, vy, fidf],
+                       axis=-1)                              # (B, F, 19)
+
+    txlo = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(x0, x1), x2) / TILE16),
+                    0, Tx - 1).astype(jnp.int32)
+    txhi = jnp.clip(jnp.floor(jnp.maximum(jnp.maximum(x0, x1), x2) / TILE16),
+                    0, Tx - 1).astype(jnp.int32)
+    tylo = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(y0, y1), y2) / TILE16),
+                    0, Ty - 1).astype(jnp.int32)
+    tyhi = jnp.clip(jnp.floor(jnp.maximum(jnp.maximum(y0, y1), y2) / TILE16),
+                    0, Ty - 1).astype(jnp.int32)
+    dummy = jnp.int32(T)
+    ts = []
+    for dy in range(3):
+        for dx in range(3):
+            tx = txlo + dx
+            ty = tylo + dy
+            ok = keep & (tx <= txhi) & (ty <= tyhi)
+            ts.append(jnp.where(ok, ty * Tx + tx, dummy))
+    tids = jnp.stack(ts, axis=-1).reshape(B, 9 * F)
+    entries = jnp.repeat(coeffs, 9, axis=1)                  # (B, 9F, 19)
+    return _binned_prep(entries, tids, T, max_seg)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def rasterize_mesh_pallas_binned_uv16(verts, faces, face_attrs, image_size,
+                                      max_seg=MAX_SEG16, interpret=False):
+    """TILE=16 UV-emitting binned rasterizer — same contract and semantics
+    as ``rasterize_mesh_pallas_binned_uv`` (exact for bbox spans < 32 px
+    and per-tile occupancy <= max_seg; validate with
+    required_tile_capacity(tile=16))."""
+    B = verts.shape[0]
+    H = W = image_size
+    Tx = W // TILE16
+    T = Tx * (H // TILE16)
+    starts, slab = _binned_uv_entries16(verts, faces, face_attrs, image_size,
+                                        max_seg)
+
+    kernel = functools.partial(_binned_attr_kernel16, tiles_x=Tx,
+                               max_seg=max_seg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, 8, 128), lambda b, t, *_: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(3)),
+        scratch_shapes=[
+            pltpu.VMEM((24, max_seg), jnp.float32),   # segment
+            pltpu.VMEM((256, 128), jnp.float32),      # z carry
+            pltpu.VMEM((256, 128), jnp.float32),      # fid carry
+            pltpu.VMEM((256, 128), jnp.float32),      # u carry
+            pltpu.VMEM((256, 128), jnp.float32),      # v carry
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    fid, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, T, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, 8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(starts, slab)
+
+    def unscramble(a):
+        # lanes [s, g<32] hold pixel p = s*32 + g; row = p//16, col = p%16
+        a = a[..., :32].reshape(B, H // TILE16, Tx, 256)
+        a = a.reshape(B, H // TILE16, Tx, TILE16, TILE16)
+        return a.transpose(0, 1, 3, 2, 4).reshape(B, H, W)
+
+    return unscramble(fid), unscramble(u), unscramble(v)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def rasterize_mesh_pallas_binned(verts, faces, image_size, max_seg=MAX_SEG,
                                  interpret=False):

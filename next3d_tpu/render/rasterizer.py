@@ -476,10 +476,17 @@ def rasterize_uv_with_alpha(verts, faces, uv_attrs, image_size,
         on_tpu = jax.devices()[0].platform == 'tpu'
         impl = ('pallas_binned' if on_tpu and image_size % 32 == 0
                 else 'tiled')
-    if impl == 'pallas_binned' and image_size % 32 == 0:
-        from ..ops.pallas_raster import rasterize_mesh_pallas_binned_uv
-        pix_to_face, u, v = rasterize_mesh_pallas_binned_uv(
-            verts, faces, uv_attrs, image_size)
+    if impl in ('pallas_binned', 'pallas_binned16') and image_size % 32 == 0:
+        if impl == 'pallas_binned16':
+            # TILE=16 variant: ~4x less per-candidate VPU work (see
+            # ops/pallas_raster.py); callers validate tile=16 occupancy
+            from ..ops.pallas_raster import rasterize_mesh_pallas_binned_uv16
+            pix_to_face, u, v = rasterize_mesh_pallas_binned_uv16(
+                verts, faces, uv_attrs, image_size)
+        else:
+            from ..ops.pallas_raster import rasterize_mesh_pallas_binned_uv
+            pix_to_face, u, v = rasterize_mesh_pallas_binned_uv(
+                verts, faces, uv_attrs, image_size)
         alpha = (pix_to_face >= 0).astype(u.dtype)
         return jnp.stack([u, v, alpha], axis=1)
     ones = jnp.ones_like(uv_attrs[..., :1])

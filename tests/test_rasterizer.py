@@ -293,6 +293,35 @@ def test_pallas_binned_uv_matches_interpolate_interpret():
     assert np.all(np.asarray(v_)[~covered] == 0)
 
 
+def test_pallas_binned_uv16_matches_uv32_interpret():
+    """TILE=16 UV kernel (interpret mode) vs the TILE=32 production kernel
+    on the real FLAME mesh: identical affine coefficients feed both, so
+    pix_to_face and the interpolated (u, v) must agree EXACTLY — any
+    difference is a binning bug (missed 3x3 rectangle entry or segment
+    overflow)."""
+    from next3d_tpu.ops.pallas_raster import (
+        rasterize_mesh_pallas_binned_uv, rasterize_mesh_pallas_binned_uv16)
+    mesh = load_obj(REF_DEMO)
+    rng = np.random.RandomState(2)
+    v = mesh.verts
+    v = (v - v.mean(0)) / np.abs(v - v.mean(0)).max() * 0.9
+    verts = np.stack([v, v + rng.randn(*v.shape) * 0.002]).astype(np.float32)
+    verts = np.concatenate([verts[..., :2], 10.0 - verts[..., 2:] * 2], -1)
+    faces = mesh.faces.astype(np.int32)
+    F = faces.shape[0]
+    attrs = rng.rand(1, F, 3, 2).astype(np.float32) * 2 - 1
+    H = 128
+    pf32, u32, v32 = rasterize_mesh_pallas_binned_uv(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(attrs), H,
+        max_seg=8192, interpret=True)
+    pf16, u16, v16 = rasterize_mesh_pallas_binned_uv16(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(attrs), H,
+        max_seg=8192, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pf16), np.asarray(pf32))
+    np.testing.assert_array_equal(np.asarray(u16), np.asarray(u32))
+    np.testing.assert_array_equal(np.asarray(v16), np.asarray(v32))
+
+
 def test_pallas_binned_kernels_aot_lower_for_tpu():
     """Mosaic lowering preflight at PRODUCTION shapes (batch-4 single view,
     FLAME 9976 faces, 256^2, max_seg=8192) for both binned kernels — the
@@ -308,3 +337,6 @@ def test_pallas_binned_kernels_aot_lower_for_tpu():
         verts, faces, H, 8192).lower(lowering_platforms=("tpu",))
     jax.jit(rasterize_mesh_pallas_binned_uv, static_argnums=(3, 4)).trace(
         verts, faces, attrs, H, 8192).lower(lowering_platforms=("tpu",))
+    from next3d_tpu.ops.pallas_raster import rasterize_mesh_pallas_binned_uv16
+    jax.jit(rasterize_mesh_pallas_binned_uv16, static_argnums=(3, 4)).trace(
+        verts, faces, attrs, H, 1024).lower(lowering_platforms=("tpu",))

@@ -46,15 +46,26 @@ def main():
         'NEXT3D_BENCH_EXTRA_MODES', 'synthesis,reenact,train').split(',')
     # NOTE: no jax import here — a parent-process device claim could
     # starve the bench subprocesses on the shared single-chip tunnel
+    path = os.path.join(ROOT, 'BENCH_extra.json')
     out = {'platform': os.environ.get('JAX_PLATFORMS', 'default'),
            'records': []}
+    if os.path.exists(path):
+        # partial reruns (NEXT3D_BENCH_EXTRA_MODES=train) replace only
+        # their own mode's record
+        with open(path) as f:
+            prior = json.load(f)
+        out['records'] = [r for r in prior.get('records', [])
+                          if r.get('mode') not in modes]
     for m in modes:
-        env = {'NEXT3D_BENCH_BATCH': '4'} if m == 'train' else {}
+        # the full 4-phase 512^2 step at batch 4 exhausts v5e HBM;
+        # batch 2 is the measured operating point (overridable)
+        env = ({'NEXT3D_BENCH_BATCH':
+                os.environ.get('NEXT3D_BENCH_TRAIN_BATCH', '2')}
+               if m == 'train' else {})
         try:
             out['records'].append(run_mode(m.strip(), env))
         except Exception as e:
             out['records'].append({'mode': m, 'error': str(e)})
-    path = os.path.join(ROOT, 'BENCH_extra.json')
     with open(path, 'w') as f:
         json.dump(out, f, indent=1)
     print('wrote', path)
