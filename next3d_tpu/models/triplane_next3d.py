@@ -124,6 +124,12 @@ class TriPlaneGenerator:
             sr_num_fp16_res=sr_num_fp16_res,
             sr_antialias=self.rendering_kwargs.get('sr_antialias', True),
             **(sr_kwargs or {}))
+        # decoder_bf16 default follows force_fp32 (ADVICE r4): the deviation
+        # from the reference's always-fp32 decoder is quality-validated at
+        # full scale — bf16 pipeline image max-abs 0.0058 / 68 dB PSNR vs
+        # the fp32 torch oracle (docs/full_scale_parity_report.json 'bf16'
+        # rows; in-suite bound tests/test_bf16_parity.py). Opt out via
+        # rendering_kwargs['decoder_bf16']=False.
         self.decoder = OSGDecoder(
             32, {'decoder_lr_mul': self.rendering_kwargs.get('decoder_lr_mul', 1),
                  'decoder_output_dim': 32,
