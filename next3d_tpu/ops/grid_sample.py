@@ -12,6 +12,8 @@ w.r.t. the grid), which is exactly what grid_sample_gradfix hand-builds.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -112,13 +114,95 @@ def _grid_sample_fwd(input, grid):
     return _grid_sample_forward(input, grid), (input, grid)
 
 
+def _use_scatter_free_bwd():
+    """TPU only, by default: XLA serializes colliding-index scatters on TPU
+    (~1.3 us/row) but handles them fine on CPU/GPU, where the sort+scan
+    replacement is strictly slower. Trace-time backend switch; override
+    with NEXT3D_SCATTER_FREE_BWD=0/1 (tests force 1 on CPU)."""
+    env = os.environ.get('NEXT3D_SCATTER_FREE_BWD')
+    if env is not None:
+        return env not in ('0', '', 'false')
+    return jax.default_backend() not in ('cpu', 'gpu', 'cuda', 'rocm')
+
+
 def _grid_sample_bwd(res, ct):
+    """Hand-rolled backward: the autodiff VJP of any gather formulation is
+    a scatter-add with colliding indices, which XLA serializes on TPU
+    (~1.3 us/row — 515 ms for one 393k-row corner stream; the round-4
+    train step spent ~100 s/step in these). d(input) is instead computed
+    scatter-free via ops.scatter_add.scatter_add_rows (sort + cumsum +
+    gather) on the 2x2-packed update stream; d(grid) reuses autodiff of
+    the packed formulation w.r.t. the fractional weights only (the table
+    is stop_gradient'd, so no scatter appears)."""
     input, grid = res
-    _, vjp = jax.vjp(_grid_sample_small, input, grid)
-    return vjp(ct)
+    N, C, H, W = input.shape
+    if H < 2 or W < 2 or not _use_scatter_free_bwd():
+        _, vjp = jax.vjp(_grid_sample_small, input, grid)
+        return vjp(ct)
+    return _grid_sample_packed_bwd(input, grid, ct)
 
 
 grid_sample_2d.defvjp(_grid_sample_fwd, _grid_sample_bwd)
+
+
+def _grid_sample_packed_bwd(input, grid, ct):
+    from .scatter_add import scatter_add_rows
+
+    N, C, H, W = input.shape
+    Ho, Wo = grid.shape[1], grid.shape[2]
+    x = (grid[..., 0].astype(jnp.float32) + 1) * (W / 2) - 0.5
+    y = (grid[..., 1].astype(jnp.float32) + 1) * (H / 2) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    wx0 = 1 - wx1
+    wy0 = 1 - wy1
+
+    def axis_w(b, t0, w0, w1, d):
+        return w0 * (b + d == t0) + w1 * (b + d == t0 + 1)
+
+    # d(input): one packed update stream — slot (dy, dx) of table row
+    # (by, bx) receives weight_slot * ct — summed by destination row
+    # scatter-free, then the 4 slots fold back onto input with shifts
+    # (the adjoint of the pad/concat packing in _grid_sample_packed).
+    ct_rows = ct.transpose(0, 2, 3, 1).reshape(N, Ho * Wo, C)
+    upd = jnp.concatenate(
+        [ct_rows * (axis_w(by, y0, wy0, wy1, dy)
+                    * axis_w(bx, x0, wx0, wx1, dx)).astype(ct.dtype).reshape(
+                        N, Ho * Wo, 1)
+         for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))], axis=-1)
+    idx = (by * W + bx).reshape(N, Ho * Wo)
+    fidx = idx + (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]
+    dflat = scatter_add_rows(N * H * W, fidx.reshape(-1),
+                             upd.reshape(-1, 4 * C))
+    d4 = dflat.reshape(N, H, W, 4, C)
+    dinp = d4[..., 0, :]
+    dinp = dinp + jnp.pad(d4[:, :, :-1, 1, :],
+                          ((0, 0), (0, 0), (1, 0), (0, 0)))
+    dinp = dinp + jnp.pad(d4[:, :-1, :, 2, :],
+                          ((0, 0), (1, 0), (0, 0), (0, 0)))
+    dinp = dinp + jnp.pad(d4[:, :-1, :-1, 3, :],
+                          ((0, 0), (1, 0), (1, 0), (0, 0)))
+    dinput = dinp.transpose(0, 3, 1, 2).astype(input.dtype)
+
+    # d(grid): differentiate the packed formulation w.r.t. the fractional
+    # weights only (integer taps and the gather have zero grad a.e.);
+    # chain rule back through x = (gx + 1) * W/2 - 0.5.
+    frozen = jax.lax.stop_gradient(input)
+
+    def from_w(wx1_, wy1_):
+        return _grid_sample_packed(frozen, x0, y0, wx1_, wy1_, Ho, Wo)
+
+    _, vjp_w = jax.vjp(from_w, wx1, wy1)
+    dwx1, dwy1 = vjp_w(ct)
+    dgrid = jnp.stack([dwx1 * (W / 2), dwy1 * (H / 2)],
+                      axis=-1).astype(grid.dtype)
+    return dinput, dgrid
 
 
 def _grid_sample_packed(input, x0, y0, wx1, wy1, Ho, Wo):

@@ -323,15 +323,17 @@ def test_grid_sample_packed_path_matches_small_path(rng):
     np.testing.assert_allclose(packed, small, rtol=1e-6, atol=1e-6)
 
 
-def test_grid_sample_custom_vjp_matches_small_grads(rng):
+def test_grid_sample_custom_vjp_matches_small_grads(rng, monkeypatch):
     """Gradients of the packed-forward custom_vjp must equal the per-corner
     path's autodiff (both w.r.t. input and grid), at a size that triggers
-    the packed branch."""
+    the packed branch. The scatter-free backward is TPU-selected at trace
+    time — force it here so it is covered on the CPU suite."""
     import jax
     import jax.numpy as jnp
     from next3d_tpu.ops import grid_sample_2d
     from next3d_tpu.ops.grid_sample import _grid_sample_small
 
+    monkeypatch.setenv('NEXT3D_SCATTER_FREE_BWD', '1')
     x = jnp.asarray(rng.randn(2, 4, 32, 32).astype(np.float32))
     grid = jnp.asarray((rng.rand(2, 128, 512, 2) * 2.4 - 1.2)
                        .astype(np.float32))
@@ -346,7 +348,50 @@ def test_grid_sample_custom_vjp_matches_small_grads(rng):
     va, (gxa, gga) = jax.value_and_grad(loss_a, argnums=(0, 1))(x, grid)
     vb, (gxb, ggb) = jax.value_and_grad(loss_b, argnums=(0, 1))(x, grid)
     np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb), rtol=1e-5,
-                               atol=1e-5)
+    # d(input) is computed scatter-free (sort + prefix-sum differences,
+    # ops/scatter_add.py) — same reduction, different summation order, so
+    # f32 rounding differs from the scatter-add oracle (~128 collisions
+    # per table row here)
+    np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb), rtol=1e-4,
+                               atol=1e-4)
     np.testing.assert_allclose(np.asarray(gga), np.asarray(ggb), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_scatter_add_rows_matches_at_add(rng):
+    """Sort+cumsum scatter replacement vs .at[].add, incl. empty rows,
+    heavy collisions, and bf16 updates (f32 accumulation)."""
+    from next3d_tpu.ops.scatter_add import scatter_add_rows
+
+    K, M, C = 37, 1000, 5
+    idx = rng.randint(0, K, size=(M,)).astype(np.int32)
+    idx[idx == 7] = 8  # guarantee at least one empty row
+    upd = rng.randn(M, C).astype(np.float32)
+    want = np.asarray(jnp.zeros((K, C)).at[jnp.asarray(idx)].add(
+        jnp.asarray(upd)))
+    got = np.asarray(scatter_add_rows(K, jnp.asarray(idx), jnp.asarray(upd)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert np.all(got[7] == 0)
+
+    # all-collide: every update lands on one row
+    got1 = np.asarray(scatter_add_rows(
+        K, jnp.zeros((M,), jnp.int32), jnp.asarray(upd)))
+    np.testing.assert_allclose(got1[0], upd.sum(0), rtol=1e-5, atol=1e-5)
+    assert np.all(got1[1:] == 0)
+
+    # bf16 updates accumulate in f32 (better than bf16 .at[].add)
+    updb = jnp.asarray(upd, jnp.bfloat16)
+    gotb = np.asarray(scatter_add_rows(K, jnp.asarray(idx), updb)
+                      .astype(jnp.float32))
+    np.testing.assert_allclose(gotb, want, rtol=2e-2, atol=2e-2)
+
+    # channel chunking path (force tiny stream budget)
+    from next3d_tpu.ops import scatter_add as sa
+    old = sa._MAX_STREAM_BYTES
+    try:
+        sa._MAX_STREAM_BYTES = 1 << 10
+        gotc = np.asarray(scatter_add_rows(K, jnp.asarray(idx),
+                                           jnp.asarray(upd)))
+    finally:
+        sa._MAX_STREAM_BYTES = old
+    np.testing.assert_allclose(gotc, want, rtol=1e-5, atol=1e-5)
