@@ -146,7 +146,7 @@ grid_sample_2d.defvjp(_grid_sample_fwd, _grid_sample_bwd)
 
 
 def _grid_sample_packed_bwd(input, grid, ct):
-    from .scatter_add import scatter_add_rows
+    from .scatter_add import scatter_add_rows_batched
 
     N, C, H, W = input.shape
     Ho, Wo = grid.shape[1], grid.shape[2]
@@ -176,10 +176,11 @@ def _grid_sample_packed_bwd(input, grid, ct):
                     * axis_w(bx, x0, wx0, wx1, dx)).astype(ct.dtype).reshape(
                         N, Ho * Wo, 1)
          for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))], axis=-1)
+    # batched (per-image sort/scan, ops/scatter_add.py): stays shard-local
+    # under a data-parallel mesh — a batch-flattened stream would force a
+    # cross-device distributed sort
     idx = (by * W + bx).reshape(N, Ho * Wo)
-    fidx = idx + (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]
-    dflat = scatter_add_rows(N * H * W, fidx.reshape(-1),
-                             upd.reshape(-1, 4 * C))
+    dflat = scatter_add_rows_batched(H * W, idx, upd)
     d4 = dflat.reshape(N, H, W, 4, C)
     dinp = d4[..., 0, :]
     dinp = dinp + jnp.pad(d4[:, :, :-1, 1, :],

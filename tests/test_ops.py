@@ -395,3 +395,29 @@ def test_scatter_add_rows_matches_at_add(rng):
     finally:
         sa._MAX_STREAM_BYTES = old
     np.testing.assert_allclose(gotc, want, rtol=1e-5, atol=1e-5)
+
+
+def test_scatter_add_rows_batched_shards_over_data_mesh(rng):
+    """Batched form matches per-image .at[].add AND compiles/executes with
+    the batch axis sharded over the 8-device mesh (the per-image axis-1
+    sort/scan design keeps the whole backward shard-local; a flattened
+    single-stream sort would have forced a cross-device distributed sort)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from next3d_tpu.ops.scatter_add import scatter_add_rows_batched
+
+    N, K, M, C = 8, 33, 500, 6
+    idx = rng.randint(0, K, size=(N, M)).astype(np.int32)
+    upd = rng.randn(N, M, C).astype(np.float32)
+    want = np.stack([
+        np.asarray(jnp.zeros((K, C)).at[jnp.asarray(idx[i])].add(
+            jnp.asarray(upd[i]))) for i in range(N)])
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ('data',))
+    sh = NamedSharding(mesh, P('data'))
+    idx_d = jax.device_put(jnp.asarray(idx), sh)
+    upd_d = jax.device_put(jnp.asarray(upd), sh)
+    out = jax.jit(
+        lambda i, u: scatter_add_rows_batched(K, i, u),
+        in_shardings=(sh, sh), out_shardings=sh)(idx_d, upd_d)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
