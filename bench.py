@@ -47,18 +47,28 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 def _measure(fn, args, batch, iters):
     import jax
+    import jax.numpy as jnp
+
+    def drain(x):
+        # a scalar VALUE FETCH is the only guaranteed sync on this
+        # remote-TPU client (block_until_ready can return early for some
+        # dispatch chains — docs/STAGE_PROFILE.md measurement discipline);
+        # jnp.sum depends on every element, so fetching it drains the queue
+        return float(jnp.sum(x.astype(jnp.float32)))
+
     img = fn(*args)
-    jax.block_until_ready(img)
+    drain(img)
     # vary inputs (defeats identical-dispatch caching in remote-TPU clients,
     # matches real serving), but PRE-STAGE the variations on device so the
     # timed loop issues exactly one dispatch per iteration
     staged = [jax.device_put(args[0] + np.float32(i) * 1e-6)
               for i in range(iters)]
     jax.block_until_ready(staged)
+    drain(fn(staged[0], *args[1:]))  # warm-up with staged input
     t0 = time.perf_counter()
     for a0 in staged:
         img = fn(a0, *args[1:])
-    jax.block_until_ready(img)
+    drain(img)
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -153,16 +163,46 @@ def main():
         # reference's lazy-reg cadence (Greg every 4 G-steps, Dreg every
         # 16 D-steps — train_next3d.py:366-367): the all-regs step bench
         # previously reported the WORST step as if it were every step.
+        #
+        # Per-step VALUE FETCH, not block_until_ready: on this remote-TPU
+        # client block_until_ready can return before the dispatched work
+        # drains (docs/STAGE_PROFILE.md "measurement discipline"), which
+        # let warm-up/compile drain inside the first timed loop — the r4/r5
+        # "plain 101-141 s vs +Greg 1.1 s" inversion (a +Greg step re-runs
+        # the same compiled gmain+dmain, so plain cannot be slower).
+        # Median of fetched per-step times, warm-up discarded.
+        def fetch(s):
+            # np.asarray forces a real device->host transfer (a guaranteed
+            # sync; jax.block_until_ready is not, on this client)
+            return float(np.asarray(
+                s.params_G['backbone']['mapping']['w_avg']).sum())
+
         def timed(do_greg, do_dreg, n=max(2, iters // 2)):
             nonlocal state
-            state = one_step(z, state, do_greg, do_dreg)  # compile
-            jax.block_until_ready(state.params_G)
+            tag = f'greg={int(do_greg)} dreg={int(do_dreg)}'
             t0 = time.perf_counter()
+            state = one_step(z, state, do_greg, do_dreg)  # compile
+            fetch(state)
+            print(f'[train {tag}] compile+first: '
+                  f'{time.perf_counter() - t0:.1f}s', file=sys.stderr,
+                  flush=True)
+            t0 = time.perf_counter()
+            state = one_step(z + np.float32(99) * 1e-6, state,
+                             do_greg, do_dreg)  # warm-up, fetched
+            fetch(state)
+            print(f'[train {tag}] warm-up: {time.perf_counter() - t0:.1f}s',
+                  file=sys.stderr, flush=True)
+            ts = []
             for i in range(n):
+                t0 = time.perf_counter()
                 state = one_step(z + np.float32(i) * 1e-6, state,
                                  do_greg, do_dreg)
-            jax.block_until_ready(state.params_G)
-            return (time.perf_counter() - t0) / n
+                fetch(state)
+                ts.append(time.perf_counter() - t0)
+                print(f'[train {tag}] step {i}: {ts[-1]:.3f}s',
+                      file=sys.stderr, flush=True)
+            ts.sort()
+            return ts[len(ts) // 2]
 
         t_plain = timed(False, False)
         t_greg = timed(True, False)
@@ -195,12 +235,16 @@ def main():
             pass
 
         if sweep:
-            for b in (1, 8, 16):
+            for b in (1, 8, 16, 32):
                 zb = np.random.RandomState(1).randn(b, 512).astype(np.float32)
-                r = _measure(forward,
-                             (zb, params, ge._camera_batch(b),
-                              ge._verts_batch(b)), b, max(4, iters // 2))
-                print(f'batch {b:3d}: {r:.3f} img/s', file=sys.stderr)
+                try:
+                    r = _measure(forward,
+                                 (zb, params, ge._camera_batch(b),
+                                  ge._verts_batch(b)), b, max(4, iters // 2))
+                    print(f'batch {b:3d}: {r:.3f} img/s', file=sys.stderr)
+                except Exception as e:  # e.g. HBM OOM at the top end
+                    print(f'batch {b:3d}: failed ({type(e).__name__})',
+                          file=sys.stderr)
 
     print(json.dumps({
         "metric": metric,
