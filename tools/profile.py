@@ -38,16 +38,25 @@ v = jnp.asarray(ge._verts_batch(B))
 n_tex = G.texture_backbone.num_ws
 
 
+def _drain(out):
+    """Guaranteed sync: fetch a scalar that depends on the output (this
+    client's block_until_ready can return before the queue drains — see
+    docs/STAGE_PROFILE.md measurement discipline)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def probe(name, fn, iters=ITERS):
     f = jax.jit(fn)
     t0 = time.perf_counter()
     out = f(params, jnp.float32(0.5))
-    jax.block_until_ready(out)
+    _drain(out)
     compile_s = time.perf_counter() - t0
+    _drain(f(params, jnp.float32(0.33)))  # warm-up (autotune drain)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(params, jnp.float32(0.1 + 0.8 * np.random.rand()))
-    jax.block_until_ready(out)
+    _drain(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:42s} {dt * 1000:9.1f} ms   [compile {compile_s:.0f}s]",
           flush=True)
