@@ -22,6 +22,7 @@ backbone, superresolution, decoder, neural_blending, orth_scale, orth_shift.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -31,6 +32,7 @@ import numpy as np
 from ..nn.styleunet import CondGenerator
 from ..nn.stylegan2 import Generator as StyleGAN2Backbone
 from ..ops import grid_sample_2d
+from ..ops.shared_sample import bilinear_sample_shared
 from ..ops.interpolate import (interpolate_nearest, paste_resized_region,
                                resample_region)
 from ..render.fill_mouth import fill_mouth
@@ -305,25 +307,39 @@ class TriPlaneGenerator:
         alpha = jax.lax.stop_gradient(rendering[:, -1:])
         grid = jax.lax.stop_gradient(rendering.transpose(0, 2, 3, 1)[..., :2])
 
-        # eye mask rides the texture gather as an extra channel: ONE
-        # grid_sample instead of two (the separate 1-ch eye pass measured
-        # ~49 ms/frame on v5e — gather cost is per-row, so the extra
-        # channel is nearly free). The 4 views FOLD INTO THE GRID, not the
-        # texture batch: the texture is identical across views, so building
-        # the (V*N)-batch packed gather table would 4x its construction and
-        # HBM footprint for the same row count (round 4; the view-major grid
-        # rows transpose to batch-major and back around the gather).
+        # The 4 views FOLD INTO THE GRID, not the texture batch: the
+        # texture is identical across views, so building the (V*N)-batch
+        # packed gather table would 4x its construction and HBM footprint
+        # for the same row count (round 4; the view-major grid rows
+        # transpose to batch-major and back around the gather).
         tex = textures
         if not self.force_fp32 and tex.dtype == jnp.float32:
             tex = tex.astype(jnp.bfloat16)  # halve gather bytes (see init)
-        eye_mask = jnp.broadcast_to(
-            jnp.asarray(self.uv_face_mask)[None, None],
-            (N, 1) + self.uv_face_mask.shape).astype(tex.dtype)
         res = self.uv_resolution
         grid_vn = grid.reshape(V, N, res, res, 2).transpose(1, 0, 2, 3, 4)
         grid_vn = grid_vn.reshape(N, V * res, res, 2)
-        sampled = grid_sample_2d(jnp.concatenate([tex, eye_mask], axis=1),
-                                 grid_vn).astype(jnp.float32)
+        if os.environ.get('NEXT3D_TEXMASK_PATH', 'separable') == 'fused':
+            # round-4 path: eye mask rides the texture gather as an extra
+            # channel — but 33ch packs to 4*33=132 bf16 lanes = 264 B/row,
+            # past the 256 B boundary, which doubles the per-row gather
+            # cost (docs/STAGE_PROFILE.md round 5).
+            eye_mask = jnp.broadcast_to(
+                jnp.asarray(self.uv_face_mask)[None, None],
+                (N, 1) + self.uv_face_mask.shape).astype(tex.dtype)
+            sampled = grid_sample_2d(
+                jnp.concatenate([tex, eye_mask], axis=1),
+                grid_vn).astype(jnp.float32)
+        else:
+            # round 5: texture gathers at exactly 4*32=128 packed lanes
+            # (256 B rows, the measured issue-rate sweet spot); the shared
+            # 1-ch eye mask is sampled by a separable one-hot MXU
+            # contraction instead of paying the per-row gather floor a
+            # second time (ops/shared_sample.py).
+            sampled_tex = grid_sample_2d(tex, grid_vn).astype(jnp.float32)
+            mask = bilinear_sample_shared(
+                jnp.asarray(self.uv_face_mask).astype(tex.dtype), grid_vn)
+            sampled = jnp.concatenate(
+                [sampled_tex, mask[:, None].astype(jnp.float32)], axis=1)
         sampled = sampled.reshape(sampled.shape[0], sampled.shape[1],
                                   V, res, res).transpose(2, 0, 1, 3, 4)
         sampled = sampled.reshape(V * N, -1, res, res)

@@ -421,3 +421,38 @@ def test_scatter_add_rows_batched_shards_over_data_mesh(rng):
         lambda i, u: scatter_add_rows_batched(K, i, u),
         in_shardings=(sh, sh), out_shardings=sh)(idx_d, upd_d)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_sample_shared_matches_grid_sample(rng):
+    """ops/shared_sample.py: the separable one-hot contraction must equal
+    grid_sample_2d on a broadcast 1-channel image, incl. zeros padding at
+    out-of-bounds points (reference eye-mask sampling,
+    triplane_next3d.py:213-214)."""
+    from next3d_tpu.ops.shared_sample import bilinear_sample_shared
+
+    img = rng.rand(9, 7).astype(np.float32)
+    grid = (rng.rand(3, 5, 6, 2).astype(np.float32) * 2.6 - 1.3)  # incl. OOB
+    want = np.asarray(grid_sample_2d(
+        jnp.broadcast_to(jnp.asarray(img)[None, None], (3, 1, 9, 7)),
+        jnp.asarray(grid)))[:, 0]
+    got = np.asarray(bilinear_sample_shared(jnp.asarray(img),
+                                            jnp.asarray(grid)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_bilinear_sample_shared_chunked_and_bf16(rng):
+    """Chunked path (P > chunk) agrees with the unchunked one; bf16 images
+    stay within bf16 rounding of the fp32 answer."""
+    from next3d_tpu.ops.shared_sample import bilinear_sample_shared
+
+    img = rng.rand(16, 16).astype(np.float32)
+    grid = (rng.rand(1, 40, 9, 2).astype(np.float32) * 2.2 - 1.1)
+    full = np.asarray(bilinear_sample_shared(jnp.asarray(img),
+                                             jnp.asarray(grid)))
+    chunked = np.asarray(bilinear_sample_shared(jnp.asarray(img),
+                                                jnp.asarray(grid), chunk=64))
+    np.testing.assert_allclose(chunked, full, rtol=1e-6, atol=1e-6)
+    bf = np.asarray(bilinear_sample_shared(
+        jnp.asarray(img).astype(jnp.bfloat16),
+        jnp.asarray(grid)).astype(jnp.float32))
+    np.testing.assert_allclose(bf, full, rtol=0, atol=0.02)

@@ -263,3 +263,26 @@ def test_dp_grads_match_manual_shard_average(setup, rng):
     d_manual = jax.tree.map(lambda x: x / n_dev, acc)
 
     _assert_grads_close(d_spmd, d_manual)
+
+
+def test_texmask_paths_agree(setup, rng, monkeypatch):
+    """rasterize(): the separable eye-mask contraction (round 5,
+    ops/shared_sample.py) must reproduce the fused 33-channel gather path
+    exactly — both implement the reference's single grid_sample over
+    texture+mask (triplane_next3d.py:213-218)."""
+    G = setup[0]
+    mesh = load_obj("/root/reference/data/demo/demo.obj")
+    lms = load_lms("/root/reference/data/demo/demo_kpt2d.txt")
+    v = jnp.asarray(np.concatenate([mesh.verts, lms], 0)[None].repeat(2, 0)
+                    .astype(np.float32))
+    params = setup[4].params_G
+    tex = jnp.asarray(rng.randn(2, 32, G.uv_resolution, G.uv_resolution)
+                      .astype(np.float32))
+    outs = {}
+    for path in ("fused", "separable"):
+        monkeypatch.setenv("NEXT3D_TEXMASK_PATH", path)
+        imgs, alphas, lm2d = G.rasterize(params, v[:, :5023], v[:, 5023:],
+                                         tex)
+        outs[path] = [np.asarray(a) for a in imgs + alphas + [lm2d]]
+    for a, b in zip(outs["fused"], outs["separable"]):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
