@@ -295,23 +295,48 @@ def mode_raster():
     t_k16 = probe("binned16 UV raster kernel (32 meshes)", kernel16)
     sub("pallas kernel16 alone", t_k16, t_p16)
 
+    def mk_grid(p, eps):
+        u = kernel(p, eps)
+        grid = jnp.stack([u, u], -1)
+        grid_vn = grid.reshape(V, B, res, res, 2).transpose(1, 0, 2, 3, 4)
+        return grid_vn.reshape(B, V * res, res, 2)
+
     def texgather(p, eps):
-        # production form (models/triplane_next3d.py:292-313): views fold
-        # into the grid so the packed table is built at batch N, not V*N
+        # round-4 fused form: eye mask rides the texture gather -> packed
+        # rows are 4*33 = 132 bf16 lanes = 264 B, past the 256 B boundary
         t = tex(p, eps)
         if not G.force_fp32:
             t = t.astype(jnp.bfloat16)
         eye = jnp.broadcast_to(jnp.asarray(G.uv_face_mask)[None, None],
                                (B, 1, res, res)).astype(t.dtype)
-        u = kernel(p, eps)
-        grid = jnp.stack([u, u], -1)
-        grid_vn = grid.reshape(V, B, res, res, 2).transpose(1, 0, 2, 3, 4)
-        grid_vn = grid_vn.reshape(B, V * res, res, 2)
-        return grid_sample_2d(jnp.concatenate([t, eye], 1), grid_vn)
-    t_tx = probe("kernel + texture grid_sample (2.1M rows)", texgather)
+        return grid_sample_2d(jnp.concatenate([t, eye], 1), mk_grid(p, eps))
+    t_tx = probe("kernel + tex gather FUSED 33ch (2.1M)", texgather)
     t_tex_b = probe("  (texture backbone alone)", tex)
-    print(f"{'  -> texture gather alone':42s} "
+    print(f"{'  -> fused texture gather alone':42s} "
           f"{(t_tx - t_k - t_tex_b) * 1000:9.1f} ms")
+
+    def texgather_sep(p, eps):
+        # round-5 form: 128-lane texture gather + separable mask contraction
+        from next3d_tpu.ops.shared_sample import bilinear_sample_shared
+        t = tex(p, eps)
+        if not G.force_fp32:
+            t = t.astype(jnp.bfloat16)
+        grid_vn = mk_grid(p, eps)
+        s = grid_sample_2d(t, grid_vn)
+        m = bilinear_sample_shared(jnp.asarray(G.uv_face_mask).astype(t.dtype),
+                                   grid_vn)
+        return s, m
+    t_tx2 = probe("kernel + tex gather SEP 32ch + mask", texgather_sep)
+    print(f"{'  -> separable texture gather alone':42s} "
+          f"{(t_tx2 - t_k - t_tex_b) * 1000:9.1f} ms")
+
+    def maskonly(p, eps):
+        from next3d_tpu.ops.shared_sample import bilinear_sample_shared
+        dt = jnp.float32 if G.force_fp32 else jnp.bfloat16
+        return bilinear_sample_shared(jnp.asarray(G.uv_face_mask).astype(dt),
+                                      mk_grid(p, eps))
+    t_mo = probe("kernel + mask contraction only", maskonly)
+    sub("mask contraction alone", t_mo, t_k)
 
     def fm(p, eps):
         u = kernel(p, eps)
@@ -325,6 +350,95 @@ def mode_raster():
         return G.rasterize(p, v[:, :5023], v[:, 5023:], t)[0][0]
     t_full = probe("FULL rasterize stage (incl. texture)", full)
     sub("full minus texture backbone", t_full, t_tex_b)
+
+
+def mode_gap():
+    """Locate the production-vs-microbench volume-gather gap (round 5):
+    the stage profile attributes ~82-90 ms/pass to the tri-plane gather
+    while the microbench floor for the same 4.7M rows is ~51 ms. Probes
+    peel the production formulation back to the raw gather."""
+    from next3d_tpu.render import renderer as R
+    from next3d_tpu.render.ray_sampler import sample_rays
+    from next3d_tpu.ops.grid_sample import _grid_sample_packed
+    opts = G.rendering_kwargs
+    ro, rd = sample_rays(c[:, :16].reshape(-1, 4, 4),
+                         c[:, 16:25].reshape(-1, 3, 3), 64)
+    S = opts['depth_resolution']
+    res = G.plane_resolution
+    dt = jnp.float32 if G.force_fp32 else jnp.bfloat16
+
+    def mk_planes(p, eps):
+        k = jax.random.fold_in(jax.random.PRNGKey(3),
+                               (eps * 1e6).astype(jnp.int32))
+        return jax.random.normal(k, (B, 3, 32, res, res), dt)
+
+    def mk_coords(p, eps):
+        d = R.sample_stratified(None, ro, opts['ray_start'], opts['ray_end'],
+                                S, False) + eps * 1e-6
+        return (ro[:, :, None] + d * rd[:, :, None]).reshape(B, -1, 3)
+
+    t_in = probe("planes + coords only", lambda p, e: (mk_planes(p, e),
+                                                       mk_coords(p, e)))
+
+    # (a) microbench formulation: raw flat gather from a PREBUILT packed
+    # table; only the indices vary per call.
+    packed_const = jax.device_put(
+        np.random.randn(B * 3 * res * res, 128).astype(np.float32)
+        .astype(dt))
+    M = 4096 * S
+
+    def raw(p, eps):
+        coords = mk_coords(p, eps)
+        proj = R.project_onto_planes((2 / opts['box_warp']) * coords)
+        x = (proj[..., 0] + 1) * (res / 2) - 0.5
+        y = (proj[..., 1] + 1) * (res / 2) - 0.5
+        bx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 2)
+        by = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, res - 2)
+        idx = (by * res + bx).reshape(B * 3, M)
+        fidx = idx + (jnp.arange(B * 3, dtype=jnp.int32)
+                      * (res * res))[:, None]
+        g = jax.lax.gather(
+            packed_const, fidx.reshape(-1, 1),
+            jax.lax.GatherDimensionNumbers(offset_dims=(1,),
+                                           collapsed_slice_dims=(0,),
+                                           start_index_map=(0,)),
+            slice_sizes=(1, 128),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        return jnp.sum(g.astype(jnp.float32), axis=-1)
+    t_raw = probe("(a) raw gather, prebuilt table (4.7M)", raw)
+    sub("raw gather alone", t_raw, t_in)
+
+    # (b) full packed grid_sample on fresh planes: adds table build
+    # (pad/concat/transpose) + 4-slot weighting + output transpose.
+    def packed(p, eps):
+        pl = mk_planes(p, eps).reshape(B * 3, 32, res, res)
+        coords = mk_coords(p, eps)
+        proj = R.project_onto_planes((2 / opts['box_warp']) * coords)
+        x = (proj[..., 0] + 1) * (res / 2) - 0.5
+        y = (proj[..., 1] + 1) * (res / 2) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        return _grid_sample_packed(pl, x0.astype(jnp.int32),
+                                   y0.astype(jnp.int32), x - x0, y - y0,
+                                   1, M)
+    t_pk = probe("(b) packed grid_sample, fresh planes", packed)
+    sub("table build + weighting + transpose", t_pk, t_raw)
+
+    # (c) production sample_from_planes (adds f32 promote + final
+    # transpose/reshape to (N, 3, M, C)).
+    def prod(p, eps):
+        return R.sample_from_planes(mk_planes(p, eps), mk_coords(p, eps),
+                                    box_warp=opts['box_warp'],
+                                    gather_bf16=not G.force_fp32)
+    t_pr = probe("(c) sample_from_planes production", prod)
+    sub("promote + out transpose", t_pr, t_pk)
+
+    # (d) as (b) but WITHOUT the final (N, C, 1, M) -> transpose: isolates
+    # the output relayout cost.
+    def packed_sum(p, eps):
+        out = packed(p, eps)
+        return jnp.sum(out.astype(jnp.float32), axis=1)
+    probe("(d) packed + reduce (no out transpose)", packed_sum)
 
 
 def mode_sr():
@@ -408,4 +522,4 @@ if __name__ == '__main__':
     print(f"profile mode={mode} batch={B} "
           f"force_fp32={G.force_fp32} device={jax.devices()[0]}", flush=True)
     {'stages': mode_stages, 'render': mode_render, 'raster': mode_raster,
-     'sr': mode_sr}[mode]()
+     'sr': mode_sr, 'gap': mode_gap}[mode]()

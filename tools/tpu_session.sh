@@ -10,28 +10,33 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD${PYTHONPATH:+:$PYTHONPATH}
 
 # 0. liveness (fails fast if the relay is down)
-timeout 600 python -c "import jax; print(jax.devices())" || exit 1
+timeout 600 python -c "
+import jax, jax.numpy as jnp
+print('LIVE', float(jnp.sum(jnp.ones((128,128)))))" || exit 1
 
-# 1. verify drive: flagship fwd on-chip, UV kernel vs tiled (correctness)
-timeout 1200 python /tmp/verify_drive.py 2>&1 | tee /tmp/tpu_verify.log
-
-# 2. headline bench A/B: UV-emitting binned kernel (auto) vs tiled,
-#    then the fused VMEM-gather sampler (round-3 candidate)
+# 1. headline bench on the NEW default path (separable texmask), then the
+#    fused-texmask and tiled-raster A/Bs, then binned16
 timeout 1800 python bench.py 2>&1 | tee /tmp/tpu_bench_auto.log
-NEXT3D_BENCH_RASTER=tiled timeout 1800 python bench.py 2>&1 \
-    | tee /tmp/tpu_bench_tiled.log
-NEXT3D_BENCH_SWEEP=1 timeout 1800 python bench.py 2>&1 \
+NEXT3D_TEXMASK_PATH=fused timeout 1800 python bench.py 2>&1 \
+    | tee /tmp/tpu_bench_fusedmask.log
+NEXT3D_BENCH_RASTER=pallas_binned16 timeout 1800 python bench.py 2>&1 \
+    | tee /tmp/tpu_bench_binned16.log
+
+# 2. batch sweep 1/2/4/8/16/32 (VERDICT r4 #1d)
+NEXT3D_BENCH_SWEEP=1 timeout 2400 python bench.py 2>&1 \
     | tee /tmp/tpu_bench_sweep.log
 
 # 3. train + reenact + synthesis -> committed BENCH_extra.json
-#    (VERDICT r2 #3)
+#    (hardened fetched-median train harness; VERDICT r4 #2)
 timeout 9000 python tools/make_bench_extra.py 2>&1 \
     | tee /tmp/tpu_bench_extra.log
 
-# 4. stage profiles (current hot-spot truth)
-timeout 1800 python tools/profile_stages2.py 2>&1 | tee /tmp/tpu_stages.log
-timeout 1800 python tools/profile_render2.py 2>&1 | tee /tmp/tpu_render.log
+# 4. gather-gap isolation (production vs microbench formulation)
+timeout 1800 python tools/profile.py gap 2>&1 | tee /tmp/tpu_gap.log
 
-# 5. gather microbench (fused-kernel design input)
-timeout 1800 python tools/profile_dyngather.py 2>&1 \
-    | tee /tmp/tpu_dyngather.log
+# 5. stage profiles (current hot-spot truth, incl. separable-mask A/B in
+#    raster mode and mouth/blend internals in sr mode)
+timeout 2400 python tools/profile.py raster 2>&1 | tee /tmp/tpu_raster.log
+timeout 2400 python tools/profile.py sr 2>&1 | tee /tmp/tpu_sr.log
+timeout 2400 python tools/profile.py stages 2>&1 | tee /tmp/tpu_stages.log
+timeout 2400 python tools/profile.py render 2>&1 | tee /tmp/tpu_render.log
