@@ -54,5 +54,9 @@ def run(C):
 
 if __name__ == '__main__':
     print(f'device={jax.devices()[0]} rows/iter={N*M}', flush=True)
-    for C in (32, 64, 128, 264, 528):
+    # 128 ch = 256 B is the production tri-plane row; 132 ch = 264 B was the
+    # round-4 fused texture row (boundary-crossing suspect); 256/512 ch
+    # probe whether multi-sample row packing (2 samples per 4x4 window)
+    # could amortize the per-row floor.
+    for C in (32, 64, 128, 132, 256, 264, 512, 528):
         run(C)

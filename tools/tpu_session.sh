@@ -31,8 +31,11 @@ NEXT3D_BENCH_SWEEP=1 timeout 2400 python bench.py 2>&1 \
 timeout 9000 python tools/make_bench_extra.py 2>&1 \
     | tee /tmp/tpu_bench_extra.log
 
-# 4. gather-gap isolation (production vs microbench formulation)
+# 4. gather-gap isolation (production vs microbench formulation) + row
+#    width sweep (256 B boundary theory; multi-sample packing headroom)
 timeout 1800 python tools/profile.py gap 2>&1 | tee /tmp/tpu_gap.log
+timeout 1800 python tools/bench_gather_width.py 2>&1 \
+    | tee /tmp/tpu_width.log
 
 # 5. stage profiles (current hot-spot truth, incl. separable-mask A/B in
 #    raster mode and mouth/blend internals in sr mode)
